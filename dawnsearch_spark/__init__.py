@@ -1,0 +1,19 @@
+"""dawnsearch_spark — a PySpark-native inverted-index + BM25 search engine.
+
+A from-scratch re-expression of the capabilities of dawn-search/dawnsearch
+(reference at /root/reference, Rust) on Apache Spark: batch inverted-index
+construction (salted groupBy-term shuffle, docID-delta varbyte compression,
+k-way merged block-max segments), BM25 top-k query execution (block-max
+WAND with threshold pruning), resumable checkpointed builds with
+per-partition lineage manifests, and the auxiliary large-corpus operators a
+training-data pipeline needs (dedup, similarity search, text analysis).
+
+Everything is built on public knowledge only: the PySpark API and the
+reference repo's observable behavior. No code is copied from the reference;
+docstrings cite reference file:line so parity can be checked.
+"""
+
+from dawnsearch_spark.config import EngineConfig
+
+__all__ = ["EngineConfig"]
+__version__ = "0.1.0"

@@ -1,0 +1,87 @@
+"""Code-aware tokenizer.
+
+Reference analog: the reference tokenizes with an ML WordPiece tokenizer in
+batch mode (/root/reference/src/embedding/embedding_service.rs:101-120); per
+the north rule we replace the embedding path with a lexical one, so the
+tokenizer becomes a deterministic code-aware splitter:
+
+  1. acronym boundary    "HTTPServer"  -> "HTTP Server"
+  2. camelCase boundary  "getUserId"   -> "get UserId" -> "get User Id"
+  3. every non-alphanumeric char (incl. '_') becomes a space
+     ("snake_case" -> "snake case")
+  4. lowercase
+  5. split on whitespace, drop empties
+
+Three equivalent implementations are provided and tested for equality:
+
+* ``tokens_col``        — native Spark Column expressions (regexp_replace /
+                          lower / split), fully JVM-side + whole-stage
+                          codegen: the hot path for index builds.
+* ``tokenize_pandas``   — vectorized pandas (``pd.Series.str`` ops, no
+                          per-row Python), wrapped as an Arrow
+                          ``pandas_udf`` by ``tokens_pandas_udf``; used
+                          where a Python-side batch needs tokenizing
+                          (e.g. inside mapInPandas operators).
+* ``tokenize_py``       — plain Python for single strings (driver-side
+                          query tokenization; reference analog: the query
+                          and the corpus share one tokenizer,
+                          embedding_service.rs:97-139).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Rule regexes (Java + Python + RE2 compatible syntax).
+ACRONYM_PAT = r"([A-Z]+)([A-Z][a-z])"
+CAMEL_PAT = r"([a-z0-9])([A-Z])"
+NONWORD_PAT = r"[^A-Za-z0-9]+"
+
+_ACRONYM_RE = re.compile(ACRONYM_PAT)
+_CAMEL_RE = re.compile(CAMEL_PAT)
+_NONWORD_RE = re.compile(NONWORD_PAT)
+
+
+def tokens_col(col: Column | str) -> Column:
+    """Array-of-tokens Column, computed entirely JVM-side (no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, ACRONYM_PAT, r"$1 $2")
+    c = F.regexp_replace(c, CAMEL_PAT, r"$1 $2")
+    c = F.regexp_replace(c, NONWORD_PAT, " ")
+    arr = F.split(F.lower(F.trim(c)), " +")
+    # trim+split leaves a single empty string for empty input
+    return F.filter(arr, lambda x: x != F.lit(""))
+
+
+def tokenize_pandas(s: pd.Series) -> pd.Series:
+    """Vectorized pandas twin of ``tokens_col`` (Series[str] -> Series[list[str]])."""
+    c = s.fillna("")
+    c = c.str.replace(ACRONYM_PAT, r"\1 \2", regex=True)
+    c = c.str.replace(CAMEL_PAT, r"\1 \2", regex=True)
+    c = c.str.replace(NONWORD_PAT, " ", regex=True)
+    return c.str.lower().str.split()
+
+
+def tokens_pandas_udf():
+    """Arrow-vectorized ``pandas_udf`` returning ``array<string>``."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _tok(s: pd.Series) -> pd.Series:
+        return tokenize_pandas(s)
+
+    return _tok
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Single-string tokenizer (driver-side query parsing)."""
+    if not text:
+        return []
+    c = _ACRONYM_RE.sub(r"\1 \2", text)
+    c = _CAMEL_RE.sub(r"\1 \2", c)
+    c = _NONWORD_RE.sub(" ", c)
+    return c.lower().split()

@@ -1,0 +1,54 @@
+"""Tokenizer: golden outputs + three-implementation equivalence
+(SURVEY.md §5: golden token lists incl. camelCase/snake_case/unicode)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from dawnsearch_spark.functions.tokenizer import (
+    tokenize_pandas,
+    tokenize_py,
+    tokens_col,
+    tokens_pandas_udf,
+)
+
+GOLDEN = [
+    ("def getUserId(self):", ["def", "get", "user", "id", "self"]),
+    ("HTTPServer2", ["http", "server2"]),
+    ("snake_case_name = 42", ["snake", "case", "name", "42"]),
+    ("parseHTTPResponse", ["parse", "http", "response"]),
+    ("let x=1; // comment", ["let", "x", "1", "comment"]),
+    ("", []),
+    ("   ", []),
+    ("fn load_config(pathBuf: PathBuf) -> Result<Config>",
+     ["fn", "load", "config", "path", "buf", "path", "buf", "result", "config"]),
+    ("UPPER lower MixedCase", ["upper", "lower", "mixed", "case"]),
+    ("héllo wörld", ["h", "llo", "w", "rld"]),  # non-ASCII = separator, all impls agree
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDEN)
+def test_tokenize_py_golden(text, expected):
+    assert tokenize_py(text) == expected
+
+
+def test_pandas_matches_py():
+    texts = [t for t, _ in GOLDEN] + ["a_bC dE_f", "x" * 100, None]
+    got = tokenize_pandas(pd.Series(texts)).tolist()
+    want = [tokenize_py(t or "") for t in texts]
+    assert got == want
+
+
+def test_spark_native_matches_py(spark):
+    texts = [t for t, _ in GOLDEN] + ["abcDefGHIjkl", "a1B2c3"]
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    rows = df.select(tokens_col("content").alias("toks")).collect()
+    assert [r["toks"] for r in rows] == [tokenize_py(t) for t in texts]
+
+
+def test_pandas_udf_matches_py(spark):
+    texts = [t for t, _ in GOLDEN]
+    df = spark.createDataFrame([(t,) for t in texts], "content string")
+    rows = df.select(tokens_pandas_udf()("content").alias("toks")).collect()
+    assert [r["toks"] for r in rows] == [tokenize_py(t) for t in texts]
