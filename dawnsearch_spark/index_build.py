@@ -1,0 +1,237 @@
+"""Index build orchestration: resumable, checkpointed, lineage-counted.
+
+End-to-end build (SURVEY.md §3 E3 mapping):
+
+    documents ──(stage 0)── docID assignment + forward index parquet
+               ──(stage 1)── corpus stats + term dictionary (df/cf/heavy)
+               ──(stage 2)── per-group posting runs   [checkpoint granule]
+               ──(stage 3)── k-way merge -> block-max segments
+
+Reference analogs: the ingestion loop feeding an ever-growing index with a
+periodic Save (/root/reference/src/index/extraction_service.rs:34-61;
+/root/reference/src/bin/dawnsearch.rs:80-88) becomes a partition-wise batch
+build where each **build group** (a contiguous docID range) commits an
+atomic manifest; a killed build re-runs only uncommitted groups
+(load-else-rebuild, search_provider.rs:111-120). Lineage counters per
+group/bucket (docs, postings, terms, bytes) are the stats the reference
+serves via Announce (search_provider.rs:328-332).
+
+Scale notes (100 TB thinking):
+* stage 2 re-tokenizes its group instead of materializing a global TF
+  table — tokenize is JVM-regex (cheap, codegen) while a TF parquet would
+  be roughly index-sized write+read IO;
+* the only wide shuffles are groupBy(term,doc) TF aggregation (map-side
+  partial combine) and the salted (term, salt) run shuffle — both bounded
+  per reducer by ``range_size`` for heavy terms;
+* group scans push ``doc_id`` range predicates into the forward-index
+  parquet (written range-partitioned by doc_id, so file pruning applies).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dawnsearch_spark.config import EngineConfig
+from dawnsearch_spark.manifest import (
+    config_fingerprint,
+    dir_bytes,
+    is_committed,
+    read_manifest,
+    write_manifest,
+)
+from dawnsearch_spark.operators.docids import assign_doc_ids
+from dawnsearch_spark.operators.merge import merge_heavy_runs, merge_light_runs
+from dawnsearch_spark.operators.postings import build_posting_runs, with_salt
+from dawnsearch_spark.operators.tf import (
+    CorpusStats,
+    corpus_stats,
+    doc_lengths,
+    document_frequencies,
+    term_frequencies,
+)
+
+
+@dataclass(frozen=True)
+class IndexPaths:
+    root: str
+
+    @property
+    def documents(self) -> str:
+        return os.path.join(self.root, "documents")
+
+    @property
+    def terms(self) -> str:
+        return os.path.join(self.root, "terms")
+
+    @property
+    def runs(self) -> str:
+        return os.path.join(self.root, "runs")
+
+    @property
+    def segments(self) -> str:
+        return os.path.join(self.root, "segments")
+
+
+def _ceil_to(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+def load_stats(root: str) -> CorpusStats:
+    m = read_manifest(root, "stats")
+    if m is None:
+        raise FileNotFoundError(f"no stats manifest in {root}")
+    return CorpusStats(
+        n_docs=int(m["n_docs"]), avgdl=float(m["avgdl"]), total_tokens=int(m["total_tokens"])
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    source_docs: DataFrame,
+    out_dir: str,
+    cfg: EngineConfig,
+    n_groups: int = 8,
+    log=lambda msg: None,
+) -> dict:
+    """Build (or resume) the full index under ``out_dir``. Returns counters."""
+    paths = IndexPaths(out_dir)
+    fp = config_fingerprint(cfg)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # ---- stage 0: forward index (docID-assigned documents) ----
+    if not is_committed(paths.root, "documents", fp):
+        docs = source_docs
+        if "doc_id" not in docs.columns:
+            docs = assign_doc_ids(docs, cfg.id_cols)
+        if "content_sha" not in docs.columns:
+            docs = docs.withColumn("content_sha", F.sha2(F.col(cfg.content_col), 256))
+        (
+            docs.repartitionByRange(max(n_groups, 8), "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(paths.documents)
+        )
+        n = spark.read.parquet(paths.documents).count()
+        write_manifest(
+            paths.root,
+            "documents",
+            {"fingerprint": fp, "n_docs": n, "bytes": dir_bytes(paths.documents)},
+        )
+        log(f"stage0 documents committed: {n} docs")
+    documents = spark.read.parquet(paths.documents)
+
+    # ---- stage 1: corpus stats + term dictionary ----
+    if not is_committed(paths.root, "stats", fp):
+        stats = corpus_stats(doc_lengths(documents, cfg.content_col))
+        tf = term_frequencies(documents, cfg.content_col)
+        dfs = document_frequencies(tf).withColumn(
+            "heavy", F.col("df") > F.lit(cfg.heavy_df_threshold)
+        ).withColumn("bucket", F.pmod(F.crc32(F.col("term")), F.lit(cfg.num_term_buckets)))
+        dfs.write.mode("overwrite").parquet(paths.terms)
+        tstats = spark.read.parquet(paths.terms).agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("heavy").cast("int")).alias("n_heavy"),
+            F.sum("df").alias("n_postings"),
+        ).collect()[0]
+        write_manifest(
+            paths.root,
+            "stats",
+            {
+                "fingerprint": fp,
+                "n_docs": stats.n_docs,
+                "avgdl": stats.avgdl,
+                "total_tokens": stats.total_tokens,
+                "n_terms": int(tstats["n_terms"]),
+                "n_heavy_terms": int(tstats["n_heavy"] or 0),
+                "n_postings": int(tstats["n_postings"] or 0),
+            },
+        )
+        log(f"stage1 stats committed: {stats}, heavy={int(tstats['n_heavy'] or 0)}")
+    stats = load_stats(paths.root)
+    terms_dict = spark.read.parquet(paths.terms)
+    heavy_terms = terms_dict.filter(F.col("heavy"))
+
+    # ---- stage 2: posting runs per build group (resume granule) ----
+    gsize = _ceil_to(max(1, (stats.n_docs + n_groups - 1) // n_groups), cfg.range_size)
+    actual_groups = max(1, (stats.n_docs + gsize - 1) // gsize)
+    for g in range(actual_groups):
+        name = f"runs_group_{g}"
+        if is_committed(paths.root, name, fp):
+            continue
+        lo, hi = g * gsize, min((g + 1) * gsize, stats.n_docs)
+        group_docs = documents.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        tf_g = term_frequencies(group_docs, cfg.content_col)
+        salted = with_salt(tf_g, heavy_terms, cfg.range_size)
+        runs = build_posting_runs(salted, cfg.build_partitions)
+        gdir = os.path.join(paths.runs, f"group={g}")
+        runs.write.mode("overwrite").parquet(gdir)
+        back = spark.read.parquet(gdir)
+        agg = back.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_docs").alias("postings"),
+            F.countDistinct("term").alias("terms"),
+        ).collect()[0]
+        write_manifest(
+            paths.root,
+            name,
+            {
+                "fingerprint": fp,
+                "group": g,
+                "doc_lo": lo,
+                "doc_hi": hi,
+                "rows": int(agg["rows"]),
+                "postings": int(agg["postings"] or 0),
+                "terms": int(agg["terms"] or 0),
+                "bytes": dir_bytes(gdir),
+            },
+        )
+        log(f"stage2 group {g} committed: docs [{lo},{hi}) postings={int(agg['postings'] or 0)}")
+
+    # ---- stage 3: merge runs -> block-max segments ----
+    if not is_committed(paths.root, "segments", fp):
+        runs = spark.read.parquet(paths.runs)
+        light = merge_light_runs(
+            runs.filter(F.col("salt") == -1), stats, cfg, cfg.build_partitions
+        )
+        heavy = merge_heavy_runs(runs.filter(F.col("salt") >= 0), heavy_terms, stats, cfg)
+        seg = light.unionByName(heavy)
+        (
+            seg.repartition("bucket")
+            .sortWithinPartitions("term", "range_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(paths.segments)
+        )
+        back = spark.read.parquet(paths.segments)
+        agg = back.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_docs").alias("postings"),
+            F.countDistinct("term").alias("terms"),
+        ).collect()[0]
+        write_manifest(
+            paths.root,
+            "segments",
+            {
+                "fingerprint": fp,
+                "rows": int(agg["rows"]),
+                "postings": int(agg["postings"] or 0),
+                "terms": int(agg["terms"] or 0),
+                "bytes": dir_bytes(paths.segments),
+                "n_groups": actual_groups,
+            },
+        )
+        log(f"stage3 segments committed: {int(agg['rows'])} rows")
+
+    seg_m = read_manifest(paths.root, "segments") or {}
+    return {
+        "n_docs": stats.n_docs,
+        "avgdl": stats.avgdl,
+        "n_groups": actual_groups,
+        "segment_rows": seg_m.get("rows"),
+        "postings": seg_m.get("postings"),
+        "index_bytes": dir_bytes(paths.root),
+    }

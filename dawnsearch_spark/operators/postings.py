@@ -1,0 +1,124 @@
+"""Stage-1 posting-run construction: salted groupBy-term shuffle -> packed runs.
+
+Reference analog: the segment writer that turns an input slice into packed
+fixed-width entries + side payload files
+(/root/reference/src/index/warc.rs:45-125); one run row here = one term's
+docID-sorted, delta+varbyte-packed postings for one (build-group, salt).
+
+Skew handling (north_rule; reference analog P10 — the reference's only
+placement strategy is random 3-peer replication, udp_service.rs:388-393,
+with semantic placement left as a README TODO): stopword-like terms whose
+global df exceeds ``heavy_df_threshold`` are salted — their shuffle key is
+(term, doc_id // range_size), so no reducer group ever exceeds
+``range_size`` postings AND the salt doubles as the serving doc-range chunk
+of the final index. Light terms use salt = -1 (one group per term per
+build group).
+
+The pack runs inside ``mapInPandas`` over partitions sorted by
+(term, salt, doc_id): groups are reassembled streamingly across Arrow
+batches (carry-over of the trailing group), split with NumPy boundary
+detection — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dawnsearch_spark.functions.codec import varbyte_encode
+
+RUN_SCHEMA = (
+    "term string, salt long, n_docs long, doc_blob binary, tf_blob binary, dl_blob binary"
+)
+
+RUN_COLS = ["term", "salt", "doc_id", "tf", "dl"]
+
+
+def with_salt(tf: DataFrame, heavy_terms: DataFrame, range_size: int) -> DataFrame:
+    """Add the shuffle salt: doc-range id for heavy terms, -1 for light."""
+    marked = tf.join(
+        F.broadcast(heavy_terms.select("term").withColumn("_heavy", F.lit(True))),
+        "term",
+        "left",
+    )
+    return marked.withColumn(
+        "salt",
+        F.when(F.col("_heavy"), (F.col("doc_id") / F.lit(range_size)).cast("long")).otherwise(
+            F.lit(-1)
+        ),
+    ).drop("_heavy")
+
+
+def _encode_run(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tuple:
+    gaps = np.empty(len(doc_ids), np.uint64)
+    gaps[0] = doc_ids[0]
+    gaps[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
+    return (
+        varbyte_encode(gaps),
+        varbyte_encode(tfs.astype(np.uint64)),
+        varbyte_encode(dls.astype(np.uint64)),
+    )
+
+
+def _pack_complete(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pack a frame containing only complete (term, salt) groups, sorted."""
+    term = pdf["term"].to_numpy()
+    salt = pdf["salt"].to_numpy(np.int64)
+    docs = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    dls = pdf["dl"].to_numpy(np.int64)
+    change = np.flatnonzero((term[1:] != term[:-1]) | (salt[1:] != salt[:-1])) + 1
+    bounds = np.concatenate(([0], change, [len(pdf)]))
+    out = {k: [] for k in ("term", "salt", "n_docs", "doc_blob", "tf_blob", "dl_blob")}
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        d, t, l = _encode_run(docs[s:e], tfs[s:e], dls[s:e])
+        out["term"].append(term[s])
+        out["salt"].append(int(salt[s]))
+        out["n_docs"].append(int(e - s))
+        out["doc_blob"].append(d)
+        out["tf_blob"].append(t)
+        out["dl_blob"].append(l)
+    return pd.DataFrame(out)
+
+
+def _split_trailing_group(pdf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Split off the trailing (term, salt) group (it may continue in the
+    next Arrow batch)."""
+    term = pdf["term"].to_numpy()
+    salt = pdf["salt"].to_numpy()
+    same = (term == term[-1]) & (salt == salt[-1])
+    diff_idx = np.flatnonzero(~same)
+    start = int(diff_idx[-1]) + 1 if len(diff_idx) else 0
+    return pdf.iloc[:start], pdf.iloc[start:]
+
+
+def _pack_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    pending: pd.DataFrame | None = None
+    for pdf in batches:
+        if pending is not None and len(pending):
+            pdf = pd.concat([pending, pdf], ignore_index=True)
+            pending = None
+        if not len(pdf):
+            continue
+        complete, pending = _split_trailing_group(pdf)
+        if len(complete):
+            yield _pack_complete(complete)
+    if pending is not None and len(pending):
+        yield _pack_complete(pending.reset_index(drop=True))
+
+
+def build_posting_runs(tf_salted: DataFrame, parts: int) -> DataFrame:
+    """(term, salt, doc_id, tf, dl) -> packed run rows.
+
+    One shuffle on (term, salt) with in-partition sort; the pack itself is
+    a streaming mapInPandas (Arrow-batched), so a partition never needs to
+    fit a pandas frame of the whole partition in memory at once.
+    """
+    sorted_parts = tf_salted.select(*RUN_COLS).repartition(
+        parts, "term", "salt"
+    ).sortWithinPartitions("term", "salt", "doc_id")
+    return sorted_parts.mapInPandas(_pack_runs, RUN_SCHEMA)

@@ -1,0 +1,94 @@
+"""Engine facade — the public query API.
+
+Reference analog: the ``SearchMsg`` surface (TextSearch / EmbeddingSearch /
+MoreLikeSearch / ExtractedPage / Stats / Save,
+/root/reference/src/search/search_msg.rs:24-52) re-expressed as methods:
+
+  Engine.build(...)      <- ExtractedPage ingestion + Save checkpoints
+  engine.search(q)       <- TextSearch (E1 lifecycle)
+  engine.more_like(id)   <- MoreLikeSearch (E2: stored doc -> query bag)
+  engine.stats()         <- Stats / Announce counters
+  engine.verify()        <- boot-time integrity verify
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dawnsearch_spark.config import EngineConfig
+from dawnsearch_spark.functions.tokenizer import tokenize_py
+from dawnsearch_spark.index_build import IndexPaths, build_index, load_stats
+from dawnsearch_spark.manifest import list_manifests
+from dawnsearch_spark.operators.hydrate import hydrate_topk, verify_corpus
+from dawnsearch_spark.operators.wand import search_index
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, index_root: str, cfg: EngineConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or EngineConfig()
+        self.paths = IndexPaths(index_root)
+        self.stats_ = load_stats(index_root)  # raises if index absent
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        docs: DataFrame,
+        index_root: str,
+        cfg: EngineConfig | None = None,
+        n_groups: int = 8,
+        log=lambda m: None,
+    ) -> "Engine":
+        cfg = cfg or EngineConfig()
+        build_index(spark, docs, index_root, cfg, n_groups=n_groups, log=log)
+        return cls(spark, index_root, cfg)
+
+    def documents(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.documents)
+
+    def search(self, query: str | dict[str, int], k: int | None = None) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), rank-identical to the exact oracle."""
+        return search_index(self.spark, self.paths.root, query, self.cfg, k=k)
+
+    def search_df(self, query: str | dict[str, int], k: int | None = None) -> DataFrame:
+        """Hydrated ranked results (J1 broadcast join + sha verification +
+        snippet truncation, reference E1 steps 5-6)."""
+        hits = self.search(query, k=k)
+        topk = self.spark.createDataFrame(
+            [(int(d), float(s)) for d, s in hits] or [], "doc_id long, score double"
+        )
+        return hydrate_topk(topk, self.documents(), self.cfg)
+
+    def more_like(self, doc_id: int, top_m: int = 10, k: int | None = None):
+        """E2: use a stored document's term bag as the query
+        (reference: embedding_for_page -> re-enter search,
+        /root/reference/src/search/search_service.rs:105-124)."""
+        row = (
+            self.documents()
+            .filter(F.col("doc_id") == doc_id)
+            .select(self.cfg.content_col)
+            .collect()
+        )
+        if not row:
+            return []
+        bag = Counter(tokenize_py(row[0][0]))
+        top_terms = sorted(bag.items(), key=lambda kv: (-kv[1], kv[0]))[:top_m]
+        return self.search(dict(top_terms), k=k)
+
+    def stats(self) -> dict:
+        """Lineage counters (A3 analog: pages_indexed & friends)."""
+        return {
+            "n_docs": self.stats_.n_docs,
+            "avgdl": self.stats_.avgdl,
+            "total_tokens": self.stats_.total_tokens,
+            "manifests": list_manifests(self.paths.root),
+        }
+
+    def verify(self) -> dict:
+        """Full-scan integrity verify (A4 analog — fails on any bad row at
+        the call site, like the reference's boot verify)."""
+        return verify_corpus(self.documents(), self.cfg)

@@ -1,0 +1,143 @@
+"""End-to-end index build + block-max WAND rank-identity vs the exact
+oracle on the full reference query set (the BASELINE.json metric), plus
+resume and skew-path correctness (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dawnsearch_spark.corpus import REFERENCE_QUERIES
+from dawnsearch_spark.index_build import build_index, load_stats
+from dawnsearch_spark.manifest import list_manifests, read_manifest
+from dawnsearch_spark.operators.oracle import bm25_exact_topk
+from dawnsearch_spark.operators.tf import (
+    corpus_stats,
+    doc_lengths,
+    document_frequencies,
+    term_frequencies,
+)
+from dawnsearch_spark.plans.query import Engine
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, spark, small_corpus, cfg):
+    d = str(tmp_path_factory.mktemp("index"))
+    build_index(spark, small_corpus, d, cfg, n_groups=4)
+    return d
+
+
+@pytest.fixture(scope="module")
+def oracle_inputs(spark, small_corpus):
+    tf = term_frequencies(small_corpus).cache()
+    stats = corpus_stats(doc_lengths(small_corpus))
+    dfs = document_frequencies(tf).cache()
+    tf.count()
+    return tf, stats, dfs
+
+
+def test_manifests_and_stats(index_dir, cfg):
+    ms = list_manifests(index_dir)
+    assert "documents" in ms and "stats" in ms and "segments" in ms
+    assert any(k.startswith("runs_group_") for k in ms)
+    stats = load_stats(index_dir)
+    assert stats.n_docs == 400
+    seg = read_manifest(index_dir, "segments")
+    assert seg["postings"] == read_manifest(index_dir, "stats")["n_postings"]
+
+
+def test_heavy_terms_exist(spark, index_dir, cfg):
+    """The scaled-down threshold must actually exercise the salted path."""
+    terms = spark.read.parquet(index_dir + "/terms")
+    n_heavy = terms.filter(F.col("heavy")).count()
+    assert n_heavy > 0, "corpus must produce heavy (stopword-like) terms"
+    seg = spark.read.parquet(index_dir + "/segments")
+    assert seg.filter(F.col("range_id") >= 0).count() > 0  # range-chunked heavy rows
+    assert seg.filter(F.col("range_id") == -1).count() > 0  # light rows
+
+
+@pytest.mark.parametrize("qid", sorted(REFERENCE_QUERIES))
+def test_wand_rank_identical_to_oracle(spark, index_dir, oracle_inputs, cfg, qid):
+    tf, stats, dfs = oracle_inputs
+    query = REFERENCE_QUERIES[qid]
+    engine = Engine(spark, index_dir, cfg)
+    got = engine.search(query)
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_exact_topk(tf, dfs, stats, query, cfg).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want], f"docIDs differ for {query!r}"
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9), f"score differs for doc {gd} in {query!r}"
+
+
+def test_wand_weighted_bag_and_more_like(spark, index_dir, cfg):
+    engine = Engine(spark, index_dir, cfg)
+    res = engine.more_like(5)
+    assert res, "more-like on an existing doc returns hits"
+    # BM25 length normalization can rank a shorter doc above the source doc
+    # for a 10-term bag, but the source doc must appear in its own top-k.
+    assert 5 in [d for d, _ in res], "source doc appears in its own more-like results"
+    hydrated = engine.search_df("parse http request").collect()
+    assert all(r["sha_ok"] for r in hydrated)
+
+
+def test_resume_skips_committed_groups(spark, small_corpus, cfg, tmp_path):
+    """Kill after group 1, re-run: committed groups skipped, final index
+    identical to a clean build (S6 load-else-rebuild semantics)."""
+    d1 = str(tmp_path / "partial")
+
+    class Stop(Exception):
+        pass
+
+    calls = {"groups": 0}
+
+    def log(msg):
+        if msg.startswith("stage2 group"):
+            calls["groups"] += 1
+            if calls["groups"] == 2:
+                raise Stop()
+
+    with pytest.raises(Stop):
+        build_index(spark, small_corpus, d1, cfg, n_groups=4, log=log)
+    ms = list_manifests(d1)
+    done_groups = [k for k in ms if k.startswith("runs_group_")]
+    assert len(done_groups) == 2 and "segments" not in ms
+
+    resumed_groups = []
+    build_index(
+        spark,
+        small_corpus,
+        d1,
+        cfg,
+        n_groups=4,
+        log=lambda m: resumed_groups.append(m) if m.startswith("stage2") else None,
+    )
+    assert len(resumed_groups) == 2, "only uncommitted groups re-ran"
+
+    d2 = str(tmp_path / "clean")
+    build_index(spark, small_corpus, d2, cfg, n_groups=4)
+    s1 = spark.read.parquet(d1 + "/segments")
+    s2 = spark.read.parquet(d2 + "/segments")
+    cols = ["term", "range_id", "df", "n_docs", "doc_blob", "tf_blob", "dl_blob"]
+    assert s1.select(cols).exceptAll(s2.select(cols)).count() == 0
+    assert s2.select(cols).exceptAll(s1.select(cols)).count() == 0
+
+
+def test_group_count_invariance(spark, small_corpus, cfg, tmp_path, oracle_inputs):
+    """Different build-group counts (the resume/parallelism knob) produce
+    identical query results — the skew/salting path must not change
+    semantics (SURVEY.md §7 hard part 2)."""
+    d = str(tmp_path / "g2")
+    build_index(spark, small_corpus, d, cfg, n_groups=2)
+    e2 = Engine(spark, d, cfg)
+    tf, stats, dfs = oracle_inputs
+    for query in ["def import", "parse http request", "getValue config"]:
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_exact_topk(tf, dfs, stats, query, cfg).collect()
+        ]
+        got = [(d_, round(s, 9)) for d_, s in e2.search(query)]
+        assert got == want
