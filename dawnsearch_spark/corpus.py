@@ -100,8 +100,13 @@ def generate_corpus(
     max_tokens: int = 600,
     n_repos: int = 50,
     parts: int | None = None,
+    start: int = 0,
 ) -> DataFrame:
-    """Distributed deterministic corpus of ``n_docs`` pseudo-source files."""
+    """Distributed deterministic corpus of ``n_docs`` pseudo-source files.
+
+    ``start`` offsets the generation counter: ``generate_corpus(s, n, start=m)``
+    yields exactly the rows m..m+n-1 of ``generate_corpus(s, m+n)`` (counter-
+    based hashing), which makes deterministic incremental-append fixtures."""
     vocab = np.array(build_vocab(vocab_size))
     V = len(vocab)
 
@@ -161,7 +166,7 @@ def generate_corpus(
             yield out
 
     parts = parts or max(8, spark.sparkContext.defaultParallelism)
-    base = spark.range(0, n_docs, 1, parts)
+    base = spark.range(start, start + n_docs, 1, parts)
     return base.mapInPandas(gen, schema=CORPUS_SCHEMA)
 
 

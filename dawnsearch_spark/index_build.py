@@ -45,7 +45,11 @@ from dawnsearch_spark.manifest import (
 )
 from dawnsearch_spark.operators.docids import assign_doc_ids
 from dawnsearch_spark.operators.merge import merge_heavy_runs, merge_light_runs
-from dawnsearch_spark.operators.postings import build_posting_runs, with_salt
+from dawnsearch_spark.operators.postings import (
+    build_posting_runs,
+    reclassify_runs,
+    with_salt,
+)
 from dawnsearch_spark.operators.tf import (
     CorpusStats,
     corpus_stats,
@@ -78,6 +82,36 @@ class IndexPaths:
 
 def _ceil_to(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
+
+
+def _plan_groups(
+    root: str, n_docs: int, n_groups: int, range_size: int, fp: str
+) -> list[tuple[int, int, int, bool]]:
+    """(group_id, doc_lo, doc_hi, committed) spans covering [0, n_docs).
+
+    Committed groups (manifest present, same fingerprint) keep their
+    recorded spans; uncovered docs get new range-aligned spans. Build
+    groups are contiguous by construction, so coverage is a prefix."""
+    from dawnsearch_spark.manifest import list_manifests
+
+    committed = []
+    for name, m in list_manifests(root).items():
+        if name.startswith("runs_group_") and m.get("fingerprint") == fp:
+            committed.append((int(m["group"]), int(m["doc_lo"]), int(m["doc_hi"])))
+    committed.sort()
+    plan = [(g, lo, hi, True) for g, lo, hi in committed]
+    covered = max((hi for _, _, hi in committed), default=0)
+    next_g = max((g for g, _, _ in committed), default=-1) + 1
+    if covered < n_docs:
+        remaining = n_docs - covered
+        gsize = _ceil_to(max(1, (remaining + n_groups - 1) // n_groups), range_size)
+        lo = covered
+        while lo < n_docs:
+            hi = min(lo + gsize, n_docs)
+            plan.append((next_g, lo, hi, False))
+            next_g += 1
+            lo = hi
+    return plan
 
 
 def load_stats(root: str) -> CorpusStats:
@@ -156,13 +190,15 @@ def build_index(
     heavy_terms = terms_dict.filter(F.col("heavy"))
 
     # ---- stage 2: posting runs per build group (resume granule) ----
-    gsize = _ceil_to(max(1, (stats.n_docs + n_groups - 1) // n_groups), cfg.range_size)
-    actual_groups = max(1, (stats.n_docs + gsize - 1) // gsize)
-    for g in range(actual_groups):
+    # The group plan extends whatever committed groups already exist (so
+    # appended documents become new groups; SURVEY.md §1.4 resumable
+    # micro-batch semantics). Fresh build: contiguous range-aligned spans.
+    plan = _plan_groups(paths.root, stats.n_docs, n_groups, cfg.range_size, fp)
+    actual_groups = len(plan)
+    for g, lo, hi, committed in plan:
         name = f"runs_group_{g}"
-        if is_committed(paths.root, name, fp):
+        if committed:
             continue
-        lo, hi = g * gsize, min((g + 1) * gsize, stats.n_docs)
         group_docs = documents.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
         tf_g = term_frequencies(group_docs, cfg.content_col)
         salted = with_salt(tf_g, heavy_terms, cfg.range_size)
@@ -194,10 +230,13 @@ def build_index(
     # ---- stage 3: merge runs -> block-max segments ----
     if not is_committed(paths.root, "segments", fp):
         runs = spark.read.parquet(paths.runs)
+        runs = reclassify_runs(runs, heavy_terms, cfg)
         light = merge_light_runs(
             runs.filter(F.col("salt") == -1), stats, cfg, cfg.build_partitions
         )
-        heavy = merge_heavy_runs(runs.filter(F.col("salt") >= 0), heavy_terms, stats, cfg)
+        heavy = merge_heavy_runs(
+            runs.filter(F.col("salt") >= 0), heavy_terms, stats, cfg, cfg.build_partitions
+        )
         seg = light.unionByName(heavy)
         (
             seg.repartition("bucket")

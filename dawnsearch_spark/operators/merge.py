@@ -101,26 +101,20 @@ def _make_segment_row(
     }
 
 
-def merge_light_runs(
-    runs: DataFrame, stats: CorpusStats, cfg: EngineConfig, parts: int
-) -> DataFrame:
-    """Merge all runs of each light term (one per build group) into one
-    full posting list. df_global = sum of run lengths (doc sets are
-    disjoint across groups)."""
-    n_docs, avgdl = stats.n_docs, stats.avgdl
+def _merge_group_rows(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized k-way merge of one key's docID-sorted runs."""
+    parts_decoded = [_decode_run(r) for r in rows.itertuples(index=False)]
+    docs = np.concatenate([p[0] for p in parts_decoded])
+    tfs = np.concatenate([p[1] for p in parts_decoded])
+    dls = np.concatenate([p[2] for p in parts_decoded])
+    order = np.argsort(docs, kind="stable")
+    return docs[order], tfs[order], dls[order]
 
-    def merge_term_rows(rows: pd.DataFrame) -> dict:
-        parts_decoded = [
-            _decode_run(r) for r in rows.itertuples(index=False)
-        ]
-        docs = np.concatenate([p[0] for p in parts_decoded])
-        tfs = np.concatenate([p[1] for p in parts_decoded])
-        dls = np.concatenate([p[2] for p in parts_decoded])
-        order = np.argsort(docs, kind="stable")  # k-way merge of sorted runs
-        docs, tfs, dls = docs[order], tfs[order], dls[order]
-        return _make_segment_row(
-            rows["term"].iloc[0], -1, len(docs), docs, tfs, dls, n_docs, avgdl, cfg
-        )
+
+def _streaming_key_merge(runs: DataFrame, key_cols: list[str], parts: int, row_fn):
+    """mapInPandas over (key_cols)-sorted partitions; reassembles key groups
+    across Arrow batches (trailing-group carry-over) and emits one segment
+    row per key via ``row_fn(group_pdf)``."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending: pd.DataFrame | None = None
@@ -130,20 +124,41 @@ def merge_light_runs(
                 pending = None
             if not len(pdf):
                 continue
-            term = pdf["term"].to_numpy()
-            same_tail = term == term[-1]
+            same_tail = np.ones(len(pdf), bool)
+            for c in key_cols:
+                col = pdf[c].to_numpy()
+                same_tail &= col == col[-1]
             diff = np.flatnonzero(~same_tail)
             start = int(diff[-1]) + 1 if len(diff) else 0
             complete, pending = pdf.iloc[:start], pdf.iloc[start:]
             if len(complete):
                 yield pd.DataFrame(
-                    [merge_term_rows(g) for _, g in complete.groupby("term", sort=False)]
+                    [row_fn(g) for _, g in complete.groupby(key_cols, sort=False)]
                 )
         if pending is not None and len(pending):
-            yield pd.DataFrame([merge_term_rows(pending.reset_index(drop=True))])
+            yield pd.DataFrame([row_fn(pending.reset_index(drop=True))])
 
-    sorted_runs = runs.repartition(parts, "term").sortWithinPartitions("term", "group")
+    sorted_runs = runs.repartition(parts, *key_cols).sortWithinPartitions(
+        *key_cols, "group"
+    )
     return sorted_runs.mapInPandas(gen, SEGMENT_SCHEMA)
+
+
+def merge_light_runs(
+    runs: DataFrame, stats: CorpusStats, cfg: EngineConfig, parts: int
+) -> DataFrame:
+    """Merge all runs of each light term (one per build group) into one
+    full posting list. df_global = sum of run lengths (doc sets are
+    disjoint across groups)."""
+    n_docs, avgdl = stats.n_docs, stats.avgdl
+
+    def row_fn(rows: pd.DataFrame) -> dict:
+        docs, tfs, dls = _merge_group_rows(rows)
+        return _make_segment_row(
+            rows["term"].iloc[0], -1, len(docs), docs, tfs, dls, n_docs, avgdl, cfg
+        )
+
+    return _streaming_key_merge(runs, ["term"], parts, row_fn)
 
 
 def merge_heavy_runs(
@@ -151,26 +166,28 @@ def merge_heavy_runs(
     term_stats: DataFrame,
     stats: CorpusStats,
     cfg: EngineConfig,
+    parts: int,
 ) -> DataFrame:
-    """Heavy terms already arrive as one run per (term, doc-range) (the
-    stage-1 salt IS the range id), so the merge is a per-row re-encode
-    with global idf + block-max directory. Global df comes from the terms
-    dictionary via a broadcast join (heavy terms are few)."""
+    """Heavy terms: one output row per (term, doc-range); the stage-1 salt
+    IS the range id. Multiple runs per (term, range) can exist when build
+    groups don't align to range boundaries (incremental appends), so this
+    merges per (term, salt). Global df comes from the terms dictionary via
+    a broadcast join (heavy terms are few)."""
     n_docs, avgdl = stats.n_docs, stats.avgdl
     joined = runs.join(F.broadcast(term_stats.select("term", "df")), "term", "inner")
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows = []
-            for r in pdf.itertuples(index=False):
-                docs, tfs, dls = _decode_run(r)
-                rows.append(
-                    _make_segment_row(
-                        r.term, int(r.salt), int(r.df), docs, tfs, dls, n_docs, avgdl, cfg
-                    )
-                )
-            yield pd.DataFrame(rows)
+    def row_fn(rows: pd.DataFrame) -> dict:
+        docs, tfs, dls = _merge_group_rows(rows)
+        return _make_segment_row(
+            rows["term"].iloc[0],
+            int(rows["salt"].iloc[0]),
+            int(rows["df"].iloc[0]),
+            docs,
+            tfs,
+            dls,
+            n_docs,
+            avgdl,
+            cfg,
+        )
 
-    return joined.mapInPandas(gen, SEGMENT_SCHEMA)
+    return _streaming_key_merge(joined, ["term", "salt"], parts, row_fn)

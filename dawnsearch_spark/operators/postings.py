@@ -111,6 +111,59 @@ def _pack_runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield _pack_complete(pending.reset_index(drop=True))
 
 
+def reclassify_runs(runs: DataFrame, heavy_terms: DataFrame, cfg) -> DataFrame:
+    """Split light runs (salt = -1) of terms that are heavy under the
+    *current* term dictionary into range-salted runs.
+
+    Needed after incremental appends: a term light at the time group g was
+    built may have crossed ``heavy_df_threshold`` since; its old runs must
+    be re-salted so the merge produces uniformly range-chunked rows
+    (df only grows, so heavy->light never happens)."""
+    from dawnsearch_spark.functions.codec import varbyte_decode
+
+    marked = runs.join(
+        F.broadcast(heavy_terms.select("term").withColumn("_h", F.lit(True))),
+        "term",
+        "left",
+    )
+    ok = marked.filter(~(F.col("_h").isNotNull() & (F.col("salt") == -1))).drop("_h")
+    to_split = marked.filter(F.col("_h").isNotNull() & (F.col("salt") == -1)).drop("_h")
+    range_size = cfg.range_size
+    out_cols = [c for c in runs.columns]
+    schema = ", ".join(
+        f"{c} {'string' if c == 'term' else ('binary' if c.endswith('_blob') else 'long')}"
+        for c in out_cols
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {c: [] for c in out_cols}
+            for r in pdf.itertuples(index=False):
+                n = int(r.n_docs)
+                gaps = varbyte_decode(r.doc_blob, n)
+                docs = np.cumsum(gaps.astype(np.int64))
+                tfs = varbyte_decode(r.tf_blob, n).astype(np.int64)
+                dls = varbyte_decode(r.dl_blob, n).astype(np.int64)
+                ranges = docs // range_size
+                bounds = np.concatenate(
+                    ([0], np.flatnonzero(ranges[1:] != ranges[:-1]) + 1, [n])
+                )
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    d, t, l = _encode_run(docs[s:e], tfs[s:e], dls[s:e])
+                    rows["term"].append(r.term)
+                    rows["salt"].append(int(ranges[s]))
+                    rows["n_docs"].append(int(e - s))
+                    rows["doc_blob"].append(d)
+                    rows["tf_blob"].append(t)
+                    rows["dl_blob"].append(l)
+                    if "group" in rows:
+                        rows["group"].append(int(r.group))
+            if rows["term"]:
+                yield pd.DataFrame(rows)
+
+    return ok.unionByName(to_split.mapInPandas(gen, schema))
+
+
 def build_posting_runs(tf_salted: DataFrame, parts: int) -> DataFrame:
     """(term, salt, doc_id, tf, dl) -> packed run rows.
 

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns: exact brute-force top-k and
+two approximate scale paths (random-hyperplane LSH, IVF coarse quantizer).
+
+Reference analogs: the reference's serving index is HNSW over 384-d unit
+vectors (/root/reference/src/search/search_provider.rs:35-42, :214) with a
+brute-force exact scan kept as the oracle
+(/root/reference/examples_old/search.rs:44-72), an IVF-like bucket index
+with multi-assignment (/root/reference/examples_old/search_bucket.rs:15-90)
+and an NSW graph (/root/reference/examples_old/search_nsw.rs:31-189). Here:
+
+* ``cosine_topk``        — exact oracle (native higher-order functions,
+                           TakeOrderedAndProject; reference search.rs:44-72)
+* ``lsh_bucket_topk``    — sign-of-hyperplane buckets; probes only matching
+                           buckets (reference bucket index analog)
+* ``ivf_topk``           — deterministic seeded centroids, NumPy matmul
+                           assignment in a vectorized pandas UDF, nprobe
+                           cells scanned (bucket multi-assign analog)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dawnsearch_spark.operators.dedup import cosine_sim_col
+
+
+def _query_lit(qvec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in qvec])
+
+
+def cosine_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k (score desc, id asc)."""
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(cosine_sim_col(F.col(vec_col), _query_lit(qvec)), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_id(vec_col, planes: np.ndarray):
+    """Bucket = bit-pattern of sign(plane . v), built from native folds."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2**i).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: scan only the query's LSH bucket. At cluster
+    scale the bucket id is a write-time partition column, so this becomes
+    a partition-pruned scan instead of a full pass."""
+    dim = len(qvec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    q = np.asarray(qvec, np.float64)
+    qbucket = int(sum(2**i for i, p in enumerate(planes) if float(p @ q) > 0))
+    bucketed = emb.withColumn("_bucket", lsh_bucket_id(F.col(vec_col), planes))
+    return cosine_topk(
+        bucketed.filter(F.col("_bucket") == qbucket), qvec, k, id_col, vec_col
+    )
+
+
+def _centroids(dim: int, n_cells: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed + 1)
+    c = rng.standard_normal((n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest (cosine) coarse centroid — one
+    vectorized NumPy matmul per Arrow batch (no per-row Python)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if cents is None:
+                cents = _centroids(M.shape[1], n_cells, seed)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (M / norms) @ cents.T
+            yield pd.DataFrame({id_col: pdf[id_col], "cell": sims.argmax(axis=1)})
+
+    return emb.mapInPandas(gen, f"{id_col} long, cell int")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only vectors in the nprobe nearest cells.
+    (At scale the cell is a write-time partition column -> pruned scan;
+    reference analog: bucket multi-assignment INSERT_COUNT=3,
+    examples_old/search_bucket.rs:15-90.)"""
+    q = np.asarray(qvec, np.float64)
+    dimq = len(qvec)
+    cents = _centroids(dimq, n_cells, seed)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(cents @ qn), kind="stable")[:nprobe].tolist()
+    assigned = ivf_assign(emb, n_cells, seed, id_col, vec_col)
+    sel = emb.join(
+        F.broadcast(assigned.filter(F.col("cell").isin(probe)).select(id_col)),
+        id_col,
+        "left_semi",
+    )
+    return cosine_topk(sel, qvec, k, id_col, vec_col)

@@ -1,0 +1,87 @@
+"""Text analysis for large-corpus pipelines: language-ID heuristic, quality
+scoring, token counting, document fingerprinting.
+
+Reference analogs: the ingest-time text predicates and projections
+(/root/reference/src/search/page_source.rs:63-131 — length gates F4/F6,
+truncation F5/F7, language filter F9 via whichlang) and URL-dedup-by-key
+(/root/reference/src/search/search_provider.rs:253-263). All functions are
+native Spark Column expressions (JVM codegen, no UDFs) and each has an
+exact ANSI-SQL twin used by the DuckDB correctness oracle in
+``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic English stopword list for the language heuristic and
+# stopword-ratio quality feature (order matters nowhere; membership only).
+EN_STOPWORDS = [
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "at", "by", "this",
+]
+
+
+def ws_token_count(col: Column | str) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    ).cast("long")
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    """Fraction of [A-Za-z] characters (0 for empty strings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.length(c)
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        alpha.cast("double") / total.cast("double")
+    )
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    hits = F.size(F.filter(toks, lambda x: x.isin(EN_STOPWORDS)))
+    n = ws_token_count(c)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: alpha-density + bounded
+    stopword signal (stopword-free text reads as non-prose / spam)."""
+    return F.round(
+        F.lit(0.7) * alpha_ratio(col)
+        + F.lit(0.3) * F.least(F.lit(1.0), stopword_ratio(col) * 5.0),
+        6,
+    )
+
+
+def lang_guess(col: Column | str, threshold: float = 0.05) -> Column:
+    """'en' if the stopword ratio clears the threshold, else 'other'
+    (n-gram-style heuristic; reference analog F9 whichlang gate)."""
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(F.lit("other"))
+
+
+def normalized_fingerprint(col: Column | str) -> Column:
+    """md5 of (lowercased, whitespace-collapsed, trimmed) text — the exact
+    near-canonical-duplicate key."""
+    c = F.col(col) if isinstance(col, str) else col
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.md5(norm)
+
+
+def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """All features at once (single scan, codegen'd)."""
+    return (
+        df.withColumn("n_tokens", ws_token_count(col))
+        .withColumn("alpha_ratio", F.round(alpha_ratio(col), 6))
+        .withColumn("stop_ratio", F.round(stopword_ratio(col), 6))
+        .withColumn("quality", quality_score(col))
+        .withColumn("lang_guess", lang_guess(col))
+        .withColumn("fingerprint", normalized_fingerprint(col))
+    )

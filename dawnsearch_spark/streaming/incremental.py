@@ -1,0 +1,118 @@
+"""Incremental index updates: batch append + Structured Streaming ingest.
+
+Reference analog: the continuous ingestion loop feeding an ever-growing
+index (/root/reference/src/index/extraction_service.rs:34-61 — runs
+forever, random WARC per cycle) with URL-dedup before insert
+(/root/reference/src/search/search_provider.rs:250-286) and periodic Save
+checkpoints (/root/reference/src/bin/dawnsearch.rs:80-88).
+
+Spark shape: each micro-batch of new documents becomes one or more new
+**build groups** appended after the committed ones. Posting runs are
+stats-independent (they store raw docID/tf/dl), so an append only:
+  1. anti-joins new docs against the forward index on the identity key
+     (J2 insert-dedup analog), assigns docIDs starting at the current N;
+  2. appends to the forward-index parquet and re-commits its manifest;
+  3. invalidates the ``stats`` and ``segments`` manifests;
+  4. re-runs ``build_index`` — committed run groups are skipped, only the
+     new groups tokenize/shuffle; stats are recomputed exactly and the
+     merge re-runs so BM25 idf/avgdl (and therefore scores) stay
+     rank-identical to a from-scratch build over the full corpus.
+Terms that crossed the heavy-df threshold since their old groups were
+built are re-salted at merge time (``reclassify_runs``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dawnsearch_spark.config import EngineConfig
+from dawnsearch_spark.index_build import IndexPaths, build_index, load_stats
+from dawnsearch_spark.manifest import MANIFEST_DIR, write_manifest
+from dawnsearch_spark.operators.docids import assign_doc_ids
+
+
+def _invalidate(root: str, names: list[str]) -> None:
+    for n in names:
+        p = os.path.join(root, MANIFEST_DIR, f"{n}.json")
+        if os.path.exists(p):
+            os.remove(p)
+
+
+def append_documents(
+    spark: SparkSession,
+    index_root: str,
+    new_docs: DataFrame,
+    cfg: EngineConfig,
+    n_groups: int = 1,
+    log=lambda m: None,
+) -> dict:
+    """Append new documents and bring the index fully up to date."""
+    paths = IndexPaths(index_root)
+    stats = load_stats(index_root)
+    existing = spark.read.parquet(paths.documents)
+
+    # insert-dedup: drop docs whose identity key already exists (J2)
+    key = list(cfg.id_cols)
+    fresh = new_docs.dropDuplicates(key).join(
+        existing.select(*key), on=key, how="left_anti"
+    )
+    if "doc_id" in fresh.columns:
+        fresh = fresh.drop("doc_id")
+    fresh = assign_doc_ids(fresh, cfg.id_cols).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(stats.n_docs)
+    )
+    if "content_sha" not in fresh.columns:
+        fresh = fresh.withColumn("content_sha", F.sha2(F.col(cfg.content_col), 256))
+    n_new = fresh.count()
+    if n_new == 0:
+        log("append: nothing new after dedup")
+        return {"appended": 0, "n_docs": stats.n_docs}
+    fresh.select(*existing.columns).repartitionByRange(
+        max(1, n_groups), "doc_id"
+    ).sortWithinPartitions("doc_id").write.mode("append").parquet(paths.documents)
+    from dawnsearch_spark.manifest import config_fingerprint
+
+    fp = config_fingerprint(cfg)
+    write_manifest(
+        paths.root,
+        "documents",
+        {"fingerprint": fp, "n_docs": stats.n_docs + n_new, "appended": n_new},
+    )
+    _invalidate(paths.root, ["stats", "segments"])
+    log(f"append: {n_new} new docs (total {stats.n_docs + n_new}); rebuilding stats+merge")
+    counters = build_index(spark, existing, index_root, cfg, n_groups=n_groups, log=log)
+    counters["appended"] = n_new
+    return counters
+
+
+def stream_into_index(
+    stream_df: DataFrame,
+    index_root: str,
+    cfg: EngineConfig,
+    checkpoint_dir: str,
+    n_groups: int = 1,
+    trigger_available_now: bool = True,
+):
+    """Structured Streaming sink: each micro-batch appends to the index via
+    ``foreachBatch`` (ST1/ST2 analog — micro-batch with per-batch commit).
+
+    ``stream_df`` must carry the corpus schema (repo, path, commit, lang,
+    content). Returns the started StreamingQuery.
+    """
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_documents(
+            batch_df.sparkSession, index_root, batch_df, cfg, n_groups=n_groups
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -106,6 +106,9 @@ def test_resume_skips_committed_groups(spark, small_corpus, cfg, tmp_path):
     done_groups = [k for k in ms if k.startswith("runs_group_")]
     assert len(done_groups) == 2 and "segments" not in ms
 
+    covered_before = max(
+        read_manifest(d1, g)["doc_hi"] for g in done_groups
+    )
     resumed_groups = []
     build_index(
         spark,
@@ -115,7 +118,18 @@ def test_resume_skips_committed_groups(spark, small_corpus, cfg, tmp_path):
         n_groups=4,
         log=lambda m: resumed_groups.append(m) if m.startswith("stage2") else None,
     )
-    assert len(resumed_groups) == 2, "only uncommitted groups re-ran"
+    # only the uncovered doc span re-ran (the resume plan may re-split it
+    # into different group boundaries; coverage is what matters)
+    assert resumed_groups, "resume built the remaining groups"
+    ms2 = list_manifests(d1)
+    spans = sorted(
+        (m["doc_lo"], m["doc_hi"])
+        for k, m in ms2.items()
+        if k.startswith("runs_group_")
+    )
+    assert spans[0][0] == 0 and spans[-1][1] == 400
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:])), "contiguous, no overlap"
+    assert all(lo >= covered_before for lo, _ in spans[2:]), "committed groups untouched"
 
     d2 = str(tmp_path / "clean")
     build_index(spark, small_corpus, d2, cfg, n_groups=4)

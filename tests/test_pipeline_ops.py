@@ -1,0 +1,148 @@
+"""Training-data pipeline operators: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dawnsearch_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_duplicates,
+    exact_duplicate_groups,
+    jaccard_pairs_exact,
+    minhash_lsh_pairs,
+    simhash_near_pairs,
+    simhash64,
+)
+from dawnsearch_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
+from dawnsearch_spark.operators.similarity import cosine_topk, ivf_topk, lsh_bucket_topk
+from dawnsearch_spark.operators.text_analysis import with_text_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.upper() + "  "),  # normalized dup of 0
+        (3, base.replace("dog", "cat")),  # near dup (1-word change)
+        (4, "def main return value for the loop in this file"),
+        (5, "completely different text about spark shuffles and partitions"),
+        (6, "xqz9 zzk1 qqpla mmx87 vvnot realwords here"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 3 and groups[0]["keep_id"] == 0
+    kept = sorted(r["doc_id"] for r in dedup_exact(docs).collect())
+    assert kept == [0, 3, 4, 5, 6, 7]
+
+
+def test_jaccard_pairs_exact(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_exact(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
+    assert (0, 3) in pairs and 0.5 <= pairs[(0, 3)] < 1.0
+    assert not any({a, b} & {5, 6} for a, b in pairs)
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # identical docs collide in every band; the near-dup with J~0.66 should
+    # be caught at 16 bands x 4 rows (collision prob ~1-(1-0.66^4)^16 ~ 0.97)
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert (0, 3) in pairs
+
+
+def test_simhash(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs.filter("text != ''")).collect()}
+    assert sh[0] == sh[1]  # identical text -> identical simhash
+    near = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs.filter("text != ''"), max_hamming=8).collect()
+    }
+    assert near[(0, 1)] == 0
+    assert (0, 3) in near  # one-word change stays within hamming 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs[7] = vecs[3] * 0.999 + 0.001 * vecs[5]  # planted near-dup of 3
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    return df, vecs
+
+
+def test_embedding_near_duplicates(spark, emb):
+    df, vecs = emb
+    pairs = embedding_near_duplicates(df, threshold=0.98).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(3, 7)}
+
+
+def test_cosine_topk_exact(spark, emb):
+    df, vecs = emb
+    q = [float(x) for x in vecs[3]]
+    got = [(r["vec_id"], r["cos"]) for r in cosine_topk(df, q, k=5).collect()]
+    sims = (vecs @ vecs[3]) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[3]))
+    want_ids = np.lexsort((np.arange(40), -np.round(sims, 6)))[:5].tolist()
+    assert [g[0] for g in got] == want_ids
+    assert got[0][0] == 3 and got[1][0] == 7
+
+
+def test_ann_recall(spark, emb):
+    """Approximate paths return a subset of the exact ranking (recall > 0
+    and the planted near-dup is found from its own bucket/cell)."""
+    df, vecs = emb
+    q = [float(x) for x in vecs[3]]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    lsh = [r["vec_id"] for r in lsh_bucket_topk(df, q, k=5, n_planes=4).collect()]
+    ivf = [r["vec_id"] for r in ivf_topk(df, q, k=5, n_cells=8, nprobe=3).collect()]
+    assert lsh and set(lsh) <= set(r["vec_id"] for r in cosine_topk(df, q, k=40).collect())
+    assert 3 in lsh, "query vector's own near neighborhood found by LSH"
+    assert 3 in ivf and 7 in ivf, "IVF with nprobe=3 finds the planted pair"
+    assert len(set(exact) & set(ivf)) >= 3
+
+
+def test_text_features(spark, docs):
+    feats = {r["doc_id"]: r for r in with_text_features(docs).collect()}
+    assert feats[0]["n_tokens"] == 14
+    assert feats[7]["n_tokens"] == 0 and feats[7]["quality"] == 0.0
+    assert feats[0]["lang_guess"] == "en"
+    assert feats[6]["lang_guess"] == "other"
+    assert feats[0]["fingerprint"] == feats[2]["fingerprint"]  # case/ws-normalized
+    assert 0.0 <= feats[5]["quality"] <= 1.0
+
+
+def test_multimodal_plumbing(spark, small_corpus):
+    media = synthesize_media(small_corpus.limit(50))
+    rows = media.collect()
+    assert all(r["meta"]["n_bytes"] == len(r["media"]) for r in rows)
+    feats = extract_features(media).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-3  # L1-normalized histogram
+    frames = sample_frames(media.limit(5)).collect()
+    assert all(len(r["frame"]) <= 256 for r in frames)
+    assert {r["doc_id"] for r in frames} == {r["doc_id"] for r in media.limit(5).collect()}
+    with pytest.raises(NotImplementedError):
+        decode_media(b"bytes", "image/png")
