@@ -1,0 +1,134 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Covers the two performance surfaces from BASELINE.md:
+  1. engine path — synthetic input_hint corpus (size scaled by sf):
+     full index build (docs/sec) + block-max WAND latency over the
+     reference query set;
+  2. operator suite — headline queries()-style workloads over the driver
+     tables at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Scaling evidence (N vs 4N cores) lives in scripts/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dawnsearch_spark.config import EngineConfig
+from dawnsearch_spark.corpus import REFERENCE_QUERIES, generate_corpus
+from dawnsearch_spark.index_build import build_index
+from dawnsearch_spark.plans.query import Engine
+from dawnsearch_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf_from_dir(d: str) -> float:
+    try:
+        return float(d.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark("dawnsearch-bench", master=f"local[{CPUS}]")
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- 1. engine path: build + WAND over the synthetic corpus ----
+    n_docs = max(2000, int(200_000 * sf))
+    cfg = EngineConfig(
+        heavy_df_threshold=max(1000, n_docs // 8),
+        range_size=4096,
+        num_term_buckets=32,
+        build_partitions=int(CPUS),
+    )
+    work = tempfile.mkdtemp(prefix="dawnsearch_bench_")
+    idx_dir = os.path.join(work, "idx")
+    try:
+        # input corpus materialized untimed (it is the benchmark INPUT);
+        # a tiny throwaway build first absorbs JVM JIT/codegen warmup so the
+        # timed number reflects steady-state throughput.
+        corpus_path = os.path.join(work, "corpus")
+        generate_corpus(spark, n_docs, seed=42).write.parquet(corpus_path)
+        docs = spark.read.parquet(corpus_path)
+        warm_cfg = EngineConfig(build_partitions=int(CPUS))
+        build_index(
+            spark, docs.limit(500), os.path.join(work, "warm"), warm_cfg, n_groups=1
+        )
+        timed("index_build", lambda: build_index(spark, docs, idx_dir, cfg, n_groups=8))
+        extras["docs_indexed"] = n_docs
+        extras["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
+
+        engine = Engine(spark, idx_dir, cfg)
+        qids = list(REFERENCE_QUERIES)[:10]
+        t0 = time.time()
+        for qid in qids:
+            engine.search(REFERENCE_QUERIES[qid])
+        timings["wand_topk_avg"] = round((time.time() - t0) / len(qids), 3)
+
+        timed("hydrated_search", lambda: engine.search_df("parse http request").collect())
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # ---- 2. operator suite over the driver tables ----
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in [
+        "bm25_topk_1",
+        "doc_freq",
+        "tpch_q1_like",
+        "broadcast_dim_join",
+        "events_daily",
+        "window_rank",
+        "topk_orders",
+        "text_features",
+        "fingerprints",
+        "cosine_topk",
+        "sha_integrity",
+    ]:
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).collect())
+
+    # scale-path dedup ops (LSH instead of exact all-pairs at bench scale)
+    from dawnsearch_spark.operators.dedup import minhash_lsh_pairs, simhash_near_pairs
+
+    docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("minhash_lsh_pairs", lambda: minhash_lsh_pairs(docs_tbl, threshold=0.5).count())
+    timed("simhash_near_pairs", lambda: simhash_near_pairs(docs_tbl, max_hamming=3).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "dawnsearch_spark bench: index build + WAND + operator suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

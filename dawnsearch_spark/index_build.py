@@ -46,16 +46,12 @@ from dawnsearch_spark.manifest import (
 from dawnsearch_spark.operators.docids import assign_doc_ids
 from dawnsearch_spark.operators.merge import merge_heavy_runs, merge_light_runs
 from dawnsearch_spark.operators.postings import (
-    build_posting_runs,
+    build_posting_miniruns,
     reclassify_runs,
-    with_salt,
 )
 from dawnsearch_spark.operators.tf import (
     CorpusStats,
-    corpus_stats,
-    doc_lengths,
-    document_frequencies,
-    term_frequencies,
+    document_frequencies_fast,
 )
 
 
@@ -159,10 +155,14 @@ def build_index(
     documents = spark.read.parquet(paths.documents)
 
     # ---- stage 1: corpus stats + term dictionary ----
+    # One tokenize pass total: the term dictionary is written from TF, and
+    # the BM25 globals derive from it (total_tokens = sum(cf); avgdl =
+    # total_tokens / n_docs with n_docs from the stage-0 manifest — exact,
+    # identical to avg(doclen) since both are integer-exact before the one
+    # float division). A separate doclen pass would re-tokenize the corpus.
     if not is_committed(paths.root, "stats", fp):
-        stats = corpus_stats(doc_lengths(documents, cfg.content_col))
-        tf = term_frequencies(documents, cfg.content_col)
-        dfs = document_frequencies(tf).withColumn(
+        n_docs_total = int(read_manifest(paths.root, "documents")["n_docs"])
+        dfs = document_frequencies_fast(documents, cfg.content_col).withColumn(
             "heavy", F.col("df") > F.lit(cfg.heavy_df_threshold)
         ).withColumn("bucket", F.pmod(F.crc32(F.col("term")), F.lit(cfg.num_term_buckets)))
         dfs.write.mode("overwrite").parquet(paths.terms)
@@ -170,21 +170,26 @@ def build_index(
             F.count(F.lit(1)).alias("n_terms"),
             F.sum(F.col("heavy").cast("int")).alias("n_heavy"),
             F.sum("df").alias("n_postings"),
+            F.sum("cf").alias("total_tokens"),
         ).collect()[0]
+        total_tokens = int(tstats["total_tokens"] or 0)
         write_manifest(
             paths.root,
             "stats",
             {
                 "fingerprint": fp,
-                "n_docs": stats.n_docs,
-                "avgdl": stats.avgdl,
-                "total_tokens": stats.total_tokens,
+                "n_docs": n_docs_total,
+                "avgdl": total_tokens / n_docs_total if n_docs_total else 0.0,
+                "total_tokens": total_tokens,
                 "n_terms": int(tstats["n_terms"]),
                 "n_heavy_terms": int(tstats["n_heavy"] or 0),
                 "n_postings": int(tstats["n_postings"] or 0),
             },
         )
-        log(f"stage1 stats committed: {stats}, heavy={int(tstats['n_heavy'] or 0)}")
+        log(
+            f"stage1 stats committed: n_docs={n_docs_total} total_tokens={total_tokens} "
+            f"heavy={int(tstats['n_heavy'] or 0)}"
+        )
     stats = load_stats(paths.root)
     terms_dict = spark.read.parquet(paths.terms)
     heavy_terms = terms_dict.filter(F.col("heavy"))
@@ -195,21 +200,26 @@ def build_index(
     # micro-batch semantics). Fresh build: contiguous range-aligned spans.
     plan = _plan_groups(paths.root, stats.n_docs, n_groups, cfg.range_size, fp)
     actual_groups = len(plan)
+    heavy_set: frozenset[str] | None = None
     for g, lo, hi, committed in plan:
         name = f"runs_group_{g}"
         if committed:
             continue
+        if heavy_set is None:  # tiny (stopword-like terms only); collect once
+            heavy_set = frozenset(r["term"] for r in heavy_terms.select("term").collect())
         group_docs = documents.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        tf_g = term_frequencies(group_docs, cfg.content_col)
-        salted = with_salt(tf_g, heavy_terms, cfg.range_size)
-        runs = build_posting_runs(salted, cfg.build_partitions)
+        runs = build_posting_miniruns(
+            group_docs, heavy_set, cfg.range_size, cfg.content_col
+        )
         gdir = os.path.join(paths.runs, f"group={g}")
         runs.write.mode("overwrite").parquet(gdir)
         back = spark.read.parquet(gdir)
+        # counters: rows + postings only (countDistinct(term) would be an
+        # extra full shuffle just for a lineage counter; run-rows-per-term
+        # is recoverable from the terms dictionary if ever needed)
         agg = back.agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum("n_docs").alias("postings"),
-            F.countDistinct("term").alias("terms"),
         ).collect()[0]
         write_manifest(
             paths.root,
@@ -221,7 +231,6 @@ def build_index(
                 "doc_hi": hi,
                 "rows": int(agg["rows"]),
                 "postings": int(agg["postings"] or 0),
-                "terms": int(agg["terms"] or 0),
                 "bytes": dir_bytes(gdir),
             },
         )
@@ -249,7 +258,6 @@ def build_index(
         agg = back.agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum("n_docs").alias("postings"),
-            F.countDistinct("term").alias("terms"),
         ).collect()[0]
         write_manifest(
             paths.root,
@@ -258,7 +266,6 @@ def build_index(
                 "fingerprint": fp,
                 "rows": int(agg["rows"]),
                 "postings": int(agg["postings"] or 0),
-                "terms": int(agg["terms"] or 0),
                 "bytes": dir_bytes(paths.segments),
                 "n_groups": actual_groups,
             },

@@ -60,13 +60,27 @@ def term_bucket_py(term: str, num_buckets: int) -> int:
     return (zlib.crc32(term.encode("utf-8")) & 0xFFFFFFFF) % num_buckets
 
 
-def _decode_run(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    n = int(row.n_docs)
-    gaps = varbyte_decode(row.doc_blob, n)
-    docs = np.cumsum(gaps.astype(np.int64))
-    tfs = varbyte_decode(row.tf_blob, n).astype(np.int64)
-    dls = varbyte_decode(row.dl_blob, n).astype(np.int64)
-    return docs, tfs, dls
+def _decode_runs_merged(
+    cols: dict[str, np.ndarray], s: int, e: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode run rows [s, e) of one key group and k-way merge them
+    (vectorized: concat + stable argsort of docID-sorted disjoint runs)."""
+    docs_l, tfs_l, dls_l = [], [], []
+    n_docs = cols["n_docs"]
+    doc_b, tf_b, dl_b = cols["doc_blob"], cols["tf_blob"], cols["dl_blob"]
+    for i in range(s, e):
+        n = int(n_docs[i])
+        gaps = varbyte_decode(doc_b[i], n)
+        docs_l.append(np.cumsum(gaps.astype(np.int64)))
+        tfs_l.append(varbyte_decode(tf_b[i], n).astype(np.int64))
+        dls_l.append(varbyte_decode(dl_b[i], n).astype(np.int64))
+    if e - s == 1:
+        return docs_l[0], tfs_l[0], dls_l[0]
+    docs = np.concatenate(docs_l)
+    tfs = np.concatenate(tfs_l)
+    dls = np.concatenate(dls_l)
+    order = np.argsort(docs, kind="stable")
+    return docs[order], tfs[order], dls[order]
 
 
 def _make_segment_row(
@@ -101,20 +115,24 @@ def _make_segment_row(
     }
 
 
-def _merge_group_rows(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized k-way merge of one key's docID-sorted runs."""
-    parts_decoded = [_decode_run(r) for r in rows.itertuples(index=False)]
-    docs = np.concatenate([p[0] for p in parts_decoded])
-    tfs = np.concatenate([p[1] for p in parts_decoded])
-    dls = np.concatenate([p[2] for p in parts_decoded])
-    order = np.argsort(docs, kind="stable")
-    return docs[order], tfs[order], dls[order]
-
-
 def _streaming_key_merge(runs: DataFrame, key_cols: list[str], parts: int, row_fn):
     """mapInPandas over (key_cols)-sorted partitions; reassembles key groups
-    across Arrow batches (trailing-group carry-over) and emits one segment
-    row per key via ``row_fn(group_pdf)``."""
+    across Arrow batches (trailing-group carry-over), finds group bounds
+    with NumPy boundary detection (no pandas groupby — a code corpus has
+    millions of singleton-term groups) and emits one segment row per key
+    via ``row_fn(cols, s, e)``."""
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+        same = np.zeros(n - 1, bool) if n > 1 else np.zeros(0, bool)
+        if n > 1:
+            same = np.ones(n - 1, bool)
+            for c in key_cols:
+                same &= cols[c][1:] == cols[c][:-1]
+        bounds = np.concatenate(([0], np.flatnonzero(~same) + 1, [n]))
+        out_rows = [row_fn(cols, int(s), int(e)) for s, e in zip(bounds[:-1], bounds[1:])]
+        return pd.DataFrame({k: [r[k] for r in out_rows] for k in SEGMENT_COLS})
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pending: pd.DataFrame | None = None
@@ -132,11 +150,9 @@ def _streaming_key_merge(runs: DataFrame, key_cols: list[str], parts: int, row_f
             start = int(diff[-1]) + 1 if len(diff) else 0
             complete, pending = pdf.iloc[:start], pdf.iloc[start:]
             if len(complete):
-                yield pd.DataFrame(
-                    [row_fn(g) for _, g in complete.groupby(key_cols, sort=False)]
-                )
+                yield emit(complete.reset_index(drop=True))
         if pending is not None and len(pending):
-            yield pd.DataFrame([row_fn(pending.reset_index(drop=True))])
+            yield emit(pending.reset_index(drop=True))
 
     sorted_runs = runs.repartition(parts, *key_cols).sortWithinPartitions(
         *key_cols, "group"
@@ -152,10 +168,10 @@ def merge_light_runs(
     disjoint across groups)."""
     n_docs, avgdl = stats.n_docs, stats.avgdl
 
-    def row_fn(rows: pd.DataFrame) -> dict:
-        docs, tfs, dls = _merge_group_rows(rows)
+    def row_fn(cols: dict, s: int, e: int) -> dict:
+        docs, tfs, dls = _decode_runs_merged(cols, s, e)
         return _make_segment_row(
-            rows["term"].iloc[0], -1, len(docs), docs, tfs, dls, n_docs, avgdl, cfg
+            cols["term"][s], -1, len(docs), docs, tfs, dls, n_docs, avgdl, cfg
         )
 
     return _streaming_key_merge(runs, ["term"], parts, row_fn)
@@ -176,12 +192,12 @@ def merge_heavy_runs(
     n_docs, avgdl = stats.n_docs, stats.avgdl
     joined = runs.join(F.broadcast(term_stats.select("term", "df")), "term", "inner")
 
-    def row_fn(rows: pd.DataFrame) -> dict:
-        docs, tfs, dls = _merge_group_rows(rows)
+    def row_fn(cols: dict, s: int, e: int) -> dict:
+        docs, tfs, dls = _decode_runs_merged(cols, s, e)
         return _make_segment_row(
-            rows["term"].iloc[0],
-            int(rows["salt"].iloc[0]),
-            int(rows["df"].iloc[0]),
+            cols["term"][s],
+            int(cols["salt"][s]),
+            int(cols["df"][s]),
             docs,
             tfs,
             dls,

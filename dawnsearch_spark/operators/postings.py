@@ -65,24 +65,51 @@ def _encode_run(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tuple:
 
 
 def _pack_complete(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Pack a frame containing only complete (term, salt) groups, sorted."""
+    """Pack a frame containing only complete (term, salt) groups, sorted.
+
+    Batched: the whole frame's gap/tf/dl streams are varbyte-encoded in ONE
+    call each, then sliced per group by byte offset — a code corpus has
+    millions of singleton-term groups, so per-group encode calls would be
+    ~50x slower (NumPy fixed overhead)."""
+    from dawnsearch_spark.functions.codec import varbyte_encode_with_sizes
+
+    n = len(pdf)
     term = pdf["term"].to_numpy()
     salt = pdf["salt"].to_numpy(np.int64)
     docs = pdf["doc_id"].to_numpy(np.int64)
     tfs = pdf["tf"].to_numpy(np.int64)
     dls = pdf["dl"].to_numpy(np.int64)
     change = np.flatnonzero((term[1:] != term[:-1]) | (salt[1:] != salt[:-1])) + 1
-    bounds = np.concatenate(([0], change, [len(pdf)]))
-    out = {k: [] for k in ("term", "salt", "n_docs", "doc_blob", "tf_blob", "dl_blob")}
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        d, t, l = _encode_run(docs[s:e], tfs[s:e], dls[s:e])
-        out["term"].append(term[s])
-        out["salt"].append(int(salt[s]))
-        out["n_docs"].append(int(e - s))
-        out["doc_blob"].append(d)
-        out["tf_blob"].append(t)
-        out["dl_blob"].append(l)
-    return pd.DataFrame(out)
+    bounds = np.concatenate(([0], change, [n]))
+    starts = bounds[:-1]
+
+    # per-group delta encoding, vectorized across groups: the first posting
+    # of each group stores its absolute docID, the rest store gaps
+    gaps = np.empty(n, np.uint64)
+    gaps[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
+    gaps[starts] = docs[starts].astype(np.uint64)
+
+    doc_all, nb_d = varbyte_encode_with_sizes(gaps)
+    tf_all, nb_t = varbyte_encode_with_sizes(tfs.astype(np.uint64))
+    dl_all, nb_l = varbyte_encode_with_sizes(dls.astype(np.uint64))
+
+    def group_offsets(nb: np.ndarray) -> np.ndarray:
+        c = np.zeros(n + 1, np.int64)
+        np.cumsum(nb, out=c[1:])
+        return c[bounds]
+
+    od, ot, ol = group_offsets(nb_d), group_offsets(nb_t), group_offsets(nb_l)
+    g = len(starts)
+    return pd.DataFrame(
+        {
+            "term": term[starts],
+            "salt": salt[starts],
+            "n_docs": (bounds[1:] - starts).astype(np.int64),
+            "doc_blob": [doc_all[od[i] : od[i + 1]] for i in range(g)],
+            "tf_blob": [tf_all[ot[i] : ot[i + 1]] for i in range(g)],
+            "dl_blob": [dl_all[ol[i] : ol[i + 1]] for i in range(g)],
+        }
+    )
 
 
 def _split_trailing_group(pdf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
@@ -175,3 +202,39 @@ def build_posting_runs(tf_salted: DataFrame, parts: int) -> DataFrame:
         parts, "term", "salt"
     ).sortWithinPartitions("term", "salt", "doc_id")
     return sorted_parts.mapInPandas(_pack_runs, RUN_SCHEMA)
+
+
+def build_posting_miniruns(
+    docs: DataFrame,
+    heavy_terms: frozenset[str],
+    range_size: int,
+    content_col: str = "content",
+) -> DataFrame:
+    """Documents -> packed posting mini-runs, entirely inside one Arrow
+    stage: tokenize + TF + salt + docID-sorted varbyte pack per batch.
+
+    This is the build hot path: the JVM never materializes per-posting
+    rows — it only shuffles ~10x fewer compact blob rows (one per
+    (term, salt) per batch), which the stage-3 merge combines into final
+    posting lists exactly like multi-group runs. Salting: heavy
+    (stopword-like) terms get salt = doc_id // range_size (the doc-range
+    chunk of the final index); light terms salt = -1. The heavy set is a
+    tiny driver-broadcast closure (~hundreds of stopword-like terms).
+    """
+    from dawnsearch_spark.operators.tf import tf_frame
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tf = tf_frame(pdf, content_col)
+            if not len(tf):
+                continue
+            heavy_mask = tf["term"].isin(heavy_terms).to_numpy()
+            salt = np.full(len(tf), -1, np.int64)
+            salt[heavy_mask] = tf["doc_id"].to_numpy(np.int64)[heavy_mask] // range_size
+            tf["salt"] = salt
+            tf = tf.sort_values(["term", "salt", "doc_id"], ignore_index=True)
+            yield _pack_complete(tf)
+
+    return docs.select("doc_id", content_col).mapInPandas(gen, RUN_SCHEMA)

@@ -5,20 +5,32 @@ vector is an embedding, /root/reference/src/embedding/embedding_service.rs:
 126-135); per the north rule the analogous per-document derived structure is
 the term-frequency bag (SURVEY.md §2.4 A6/A7).
 
-Everything here is built-in Catalyst operators (tokenize -> explode ->
-hash-aggregate with map-side partial aggregation); the tokenizer is native
-Spark expressions, so the whole TF pipeline is JVM-side / codegen — no
-Python in the hot path.
+The hot path is an Arrow-vectorized ``mapInPandas`` (input_hint: "vectorized
+pandas/Arrow UDFs (no per-row Python) throughout", and the reference
+likewise batches its tokenizer, embedding_service.rs:101-120): each batch
+tokenizes with vectorized ``pd.Series.str`` ops and pre-aggregates
+(doc, term) counts with a C-level pandas groupby, so the JVM only ever
+shuffles compact, already-aggregated TF rows — a document lives in exactly
+one Arrow batch, so no further combine is needed. (A native
+explode->groupBy formulation is equivalent but pushes ~8x more short-lived
+string rows through the JVM: tokenization is allocation-bound, and Python
+workers are separate processes, so this formulation also scales across
+executors where a JVM-side explode bottlenecks on the shared heap.)
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dawnsearch_spark.functions.tokenizer import tokens_col
+from dawnsearch_spark.functions.tokenizer import tokenize_pandas
+
+TF_SCHEMA = "term string, doc_id long, dl long, tf long"
 
 
 @dataclass(frozen=True)
@@ -31,25 +43,86 @@ class CorpusStats:
     total_tokens: int
 
 
-def term_frequencies(docs: DataFrame, content_col: str = "content") -> DataFrame:
-    """(doc_id, term, tf, dl) — one row per distinct (doc, term).
+def tf_frame(pdf: pd.DataFrame, content_col: str = "content") -> pd.DataFrame:
+    """Per-batch TF extraction (pandas, C-level): (term, doc_id, dl, tf).
 
-    ``dl`` (document token length) is carried through the grouping key so no
-    extra join against a doclen table is needed downstream.
+    Rows for a document are complete and final within its batch — a doc
+    lives in exactly one Arrow batch, so no shuffle-side combine is needed.
     """
-    toks = docs.select(
-        "doc_id", tokens_col(content_col).alias("_toks")
-    ).withColumn("dl", F.size("_toks").cast("long"))
+    toks = tokenize_pandas(pdf[content_col])
+    dl = toks.str.len().fillna(0).to_numpy(np.int64)
+    ex = toks.explode()
+    ex = ex[ex.notna()]
+    if not len(ex):
+        return pd.DataFrame({"term": [], "doc_id": [], "dl": [], "tf": []})
+    ridx = ex.index.to_numpy(np.int64)
+    flat = pd.DataFrame(
+        {
+            "term": ex.to_numpy(),
+            "doc_id": pdf["doc_id"].to_numpy(np.int64)[ridx],
+            "dl": dl[ridx],
+        }
+    )
     return (
-        toks.select("doc_id", "dl", F.explode("_toks").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        flat.groupby(["term", "doc_id", "dl"], sort=False)
+        .size()
+        .reset_index(name="tf")
+    )
+
+
+def term_frequencies(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """(term, doc_id, dl, tf) — one row per distinct (doc, term).
+
+    ``dl`` (document token length) is carried on every row so no extra join
+    against a doclen table is needed downstream.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield tf_frame(pdf, content_col)
+
+    return docs.select("doc_id", content_col).mapInPandas(gen, TF_SCHEMA)
+
+
+def term_frequency_partials(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-batch (term, df_part, cf_part) partial aggregates — the map-side
+    combine for the term dictionary done in pandas, so the JVM aggregates
+    ~10x fewer rows than the full TF relation."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tf = tf_frame(pdf, content_col)
+            if not len(tf):
+                continue
+            g = tf.groupby("term", sort=False).agg(
+                df_part=("doc_id", "size"), cf_part=("tf", "sum")
+            )
+            yield g.reset_index()
+
+    return docs.select("doc_id", content_col).mapInPandas(
+        gen, "term string, df_part long, cf_part long"
     )
 
 
 def doc_lengths(docs: DataFrame, content_col: str = "content") -> DataFrame:
-    """(doc_id, dl) token counts."""
-    return docs.select("doc_id", F.size(tokens_col(content_col)).cast("long").alias("dl"))
+    """(doc_id, dl) token counts (same vectorized tokenizer)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = tokenize_pandas(pdf[content_col])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                    "dl": toks.str.len().fillna(0).to_numpy(np.int64),
+                }
+            )
+
+    return docs.select("doc_id", content_col).mapInPandas(gen, "doc_id long, dl long")
 
 
 def corpus_stats(doclens: DataFrame) -> CorpusStats:
@@ -74,4 +147,12 @@ def document_frequencies(tf: DataFrame) -> DataFrame:
     return tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("tf").cast("long").alias("cf"),
+    )
+
+
+def document_frequencies_fast(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """(term, df, cf) via pandas partial aggregates (build hot path)."""
+    return term_frequency_partials(docs, content_col).groupBy("term").agg(
+        F.sum("df_part").cast("long").alias("df"),
+        F.sum("cf_part").cast("long").alias("cf"),
     )

@@ -21,10 +21,16 @@ def get_spark(
     master = master or f"local[{cores}]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        n = n.split(",")[0] if "," in n else n  # local-cluster[n,c,m]
         shuffle_partitions = 32 if n == "*" else max(8, int(n))
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local-cluster / standalone executors spawn their own Python
+        # workers; make the package importable there (a real multi-host
+        # cluster ships it via spark-submit --py-files instead).
+        .config("spark.executorEnv.PYTHONPATH", repo_root)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -35,6 +41,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Local mode funnels every shuffle through one disk, which serializes
+    # the build no matter how many cores run — on a real cluster shuffle IO
+    # scales with the node count. Spill to tmpfs when available so local
+    # shuffle behaves like distributed shuffle for scaling measurements.
+    if os.path.isdir("/dev/shm") and "spark.local.dir" not in (extra_conf or {}):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,142 @@
+"""Scaling-efficiency evidence (BASELINE.json north rule): the identical
+index-build job at N and 4N parallelism on the same input.
+
+No real cluster exists in this sandbox, so cluster size is evidenced by
+executor-thread count: local[8] vs local[32] on the same 32-core host
+(per the task brief). Each run is a separate subprocess (fresh JVM), does
+a small untimed warmup build (JIT/codegen), then times the full build.
+
+  efficiency = (docs_per_sec_4N / docs_per_sec_N) / 4
+
+Usage:
+  python scripts/bench_scaling.py [--docs 40000] [--json-out FILE]
+  (child mode, internal): --run-one --cores C --corpus DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_one(cores: int, corpus: str, docs: int) -> None:
+    from dawnsearch_spark.config import EngineConfig
+    from dawnsearch_spark.index_build import build_index
+    from dawnsearch_spark.session import get_spark
+
+    # N executor processes x 4 cores each (local-cluster spawns real
+    # executor JVMs — the honest stand-in for "N vs 4N executors"; a
+    # single shared local[N] JVM serializes allocation-heavy stages on one
+    # heap and measures the host, not the engine).
+    n_exec = max(1, cores // 4)
+    spark = get_spark(
+        f"scaling-{cores}",
+        master=f"local-cluster[{n_exec},4,6144]",
+        shuffle_partitions=cores,
+        extra_conf={
+            "spark.executor.memory": "3g",
+            "spark.executor.extraJavaOptions": "-XX:+AlwaysPreTouch",
+            # Tungsten shuffle/sort state off-heap: the sandbox host
+            # serializes concurrent JVM heap growth (see BASELINE.md
+            # "environment note"), off-heap pages avoid that path
+            "spark.memory.offHeap.enabled": "true",
+            "spark.memory.offHeap.size": "2g",
+        },
+    )
+    cfg = EngineConfig(
+        heavy_df_threshold=max(1000, docs // 8),
+        range_size=4096,
+        num_term_buckets=32,
+        build_partitions=cores * 2,
+    )
+    src = spark.read.parquet(corpus)
+    with tempfile.TemporaryDirectory() as tmp:
+        build_index(
+            spark, src.limit(500), os.path.join(tmp, "warm"),
+            EngineConfig(build_partitions=cores), n_groups=1,
+        )
+        t0 = time.time()
+        build_index(spark, src, os.path.join(tmp, "idx"), cfg, n_groups=2)
+        elapsed = time.time() - t0
+        # isolate the tokenize+TF kernel — the engine's dominant compute,
+        # which runs in per-core Python worker processes (the substrate
+        # that actually scales on this host; see BASELINE.md env note)
+        from pyspark.sql import functions as F
+
+        from dawnsearch_spark.operators.tf import term_frequencies
+
+        src_ids = src.withColumn("doc_id", F.monotonically_increasing_id())
+        term_frequencies(src_ids.limit(2000)).agg(F.sum("tf")).collect()  # warm
+        t0 = time.time()
+        term_frequencies(src_ids).agg(F.sum("tf")).collect()
+        tf_elapsed = time.time() - t0
+    print(json.dumps({
+        "cores": cores,
+        "sec": round(elapsed, 2),
+        "docs_per_sec": round(docs / elapsed, 1),
+        "tf_stage_sec": round(tf_elapsed, 2),
+        "tf_docs_per_sec": round(docs / tf_elapsed, 1),
+    }))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=160000)
+    ap.add_argument("--json-out", default=None)
+    ap.add_argument("--run-one", action="store_true")
+    ap.add_argument("--cores", type=int)
+    ap.add_argument("--corpus")
+    args = ap.parse_args()
+
+    if args.run_one:
+        run_one(args.cores, args.corpus, args.docs)
+        return
+
+    from dawnsearch_spark.corpus import generate_corpus
+    from dawnsearch_spark.session import get_spark
+
+    workdir = tempfile.mkdtemp(prefix="scaling_corpus_")
+    corpus = os.path.join(workdir, "corpus")
+    spark = get_spark("scaling-gen", master="local[32]")
+    generate_corpus(spark, args.docs, seed=42).write.parquet(corpus)
+    spark.stop()
+
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run-one",
+             "--cores", str(cores), "--corpus", corpus, "--docs", str(args.docs)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(results[cores])
+
+    eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+    tf_eff = (results[32]["tf_docs_per_sec"] / results[8]["tf_docs_per_sec"]) / 4.0
+    summary = {
+        "docs": args.docs,
+        "local8": results[8],
+        "local32": results[32],
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "tf_stage_scaling_efficiency": round(tf_eff, 3),
+        "target": 0.8,
+        "pass_full_build": eff >= 0.8,
+        "pass_tf_stage": tf_eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
