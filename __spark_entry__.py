@@ -347,6 +347,70 @@ def q_sha_integrity(spark, sf_dir):
     return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha"))
 
 
+def q_capacity_guard(spark, sf_dir):
+    """A2: capacity check (reference: local_space_available, count < 1e6,
+    search_provider.rs:164-166)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) < F.lit(1_000_000)).alias("within_capacity"),
+    )
+
+
+def q_dedup_kept(spark, sf_dir):
+    """F11/J2: ids surviving exact dedup (keeper = min doc_id per
+    normalized fingerprint)."""
+    from dawnsearch_spark.operators.dedup import dedup_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs).select("doc_id")
+
+
+# ---- rows-only entries (no SQL-expressible oracle; the driver records a
+# weaker rows-only check per the contract) ----
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates, exact-Jaccard-verified."""
+    from dawnsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5, bands=8, rows_per_band=8)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming distance 3 (banded blocking)."""
+    from dawnsearch_spark.operators.dedup import simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=3)
+
+
+def q_lsh_topk(spark, sf_dir):
+    """ANN scale path: hyperplane-LSH bucketed cosine top-k."""
+    from dawnsearch_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return lsh_bucket_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=6)
+
+
+def q_ivf_topk(spark, sf_dir):
+    """ANN scale path: IVF coarse-quantizer probe search."""
+    from dawnsearch_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, n_cells=16, nprobe=4)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary media column -> vectorized features."""
+    from dawnsearch_spark.operators.multimodal import extract_features, synthesize_media
+
+    docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "content")
+    return extract_features(synthesize_media(docs.limit(100)))
+
+
 # --------------------------------------------------------------------------
 
 
@@ -386,6 +450,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_count": q_shingle_count,
         "lang_token_stats": q_lang_token_stats,
         "sha_integrity": q_sha_integrity,
+        "capacity_guard": q_capacity_guard,
+        "dedup_kept": q_dedup_kept,
+        # rows-only (no oracle_sql entry; driver records weaker check):
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "media_features": q_media_features,
     }
 
 
@@ -538,5 +610,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sha_integrity": """
             SELECT doc_id, sha256(text) AS content_sha FROM documents
+        """,
+        "capacity_guard": """
+            SELECT count(*) AS n_docs, count(*) < 1000000 AS within_capacity
+            FROM documents
+        """,
+        "dedup_kept": """
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn = 1
         """,
     }

@@ -259,11 +259,23 @@ def search_index(
     cfg: EngineConfig,
     k: int | None = None,
     task_groups: int = 64,
+    max_driver_heavy_rows: int = 256,
+    seg_df=None,
+    stats: CorpusStats | None = None,
 ) -> list[tuple[int, float]]:
-    """Top-k (doc_id, score) for a query string or a {term: weight} bag."""
-    k = k or cfg.top_k
+    """Top-k (doc_id, score) for a query string or a {term: weight} bag.
+
+    Gathers ``top_k_internal`` candidates internally and returns ``k``
+    (reference: internal k=20, displayed 10 — search_provider.rs:214,
+    examples_old/search.rs:55-63). If the pruned heavy-row set is small
+    (<= ``max_driver_heavy_rows``) the range scoring runs on the driver —
+    the reference's local-search-first shape — avoiding a distributed job
+    for small/medium indexes; larger row sets fan out as range tasks.
+    """
+    k_out = k or cfg.top_k
+    k = max(k_out, cfg.top_k_internal)
     paths = IndexPaths(index_root)
-    stats = load_stats(index_root)
+    stats = stats if stats is not None else load_stats(index_root)
     if isinstance(query, str):
         bag = Counter(tokenize_py(query))
     else:
@@ -272,11 +284,19 @@ def search_index(
     if not terms:
         return []
     buckets = sorted({_term_bucket(t, cfg.num_term_buckets) for t in terms})
-    seg = (
-        spark.read.parquet(paths.segments)
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-    )
-    light_rows = seg.filter(F.col("range_id") == -1).collect()
+    seg_all = seg_df if seg_df is not None else spark.read.parquet(paths.segments)
+    seg = seg_all.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+
+    # One collect covers the whole query when the pruned row set is small
+    # (the common case: light lists + a handful of range-chunked heavy
+    # rows) — the reference's local-search-first shape, E1 step 3.
+    probe_all = seg.limit(max_driver_heavy_rows + 1).collect()
+    if len(probe_all) <= max_driver_heavy_rows:
+        light_rows = [r for r in probe_all if int(r["range_id"]) == -1]
+        heavy_probe = [r for r in probe_all if int(r["range_id"]) >= 0]
+    else:
+        light_rows = seg.filter(F.col("range_id") == -1).collect()
+        heavy_probe = None
     lights: list[LightList] = []
     for r in light_rows:
         rd = _row_to_dict(r)
@@ -300,17 +320,29 @@ def search_index(
     if len(lscores) >= k:
         theta0 = float(np.partition(lscores, -k)[-k])
 
+    def _qmeta(heavy_info: dict[str, int]) -> list[tuple[str, int, float]]:
+        return [
+            (t, bag[t], float(idf_np(float(heavy_info.get(t, 0)), float(stats.n_docs))))
+            for t in terms
+            if t in heavy_info or any(l.term == t for l in lights)
+        ]
+
+    if heavy_probe is not None:
+        if not heavy_probe:
+            return _topk_merge(ldocs, lscores, k)[:k_out]
+        # driver-side scoring (reference's local-search-first, E1 step 3)
+        heavy_info = {r["term"]: int(r["df"]) for r in heavy_probe}
+        scorer = make_range_scorer(lights, _qmeta(heavy_info), theta0, k, stats, cfg)
+        result_pdf = scorer(pd.DataFrame([r.asDict() for r in heavy_probe]))
+        rdocs = result_pdf["doc_id"].to_numpy(np.int64)
+        rscores = result_pdf["score"].to_numpy(np.float64)
+        return _topk_merge(
+            np.concatenate([ldocs, rdocs]), np.concatenate([lscores, rscores]), k
+        )[:k_out]
+
     heavy = seg.filter(F.col("range_id") >= 0)
     heavy_info = {r["term"]: int(r["df"]) for r in heavy.select("term", "df").distinct().collect()}
-    if not heavy_info:
-        return _topk_merge(ldocs, lscores, k)
-
-    qmeta = [
-        (t, bag[t], float(idf_np(float(heavy_info.get(t, 0)), float(stats.n_docs))))
-        for t in terms
-        if t in heavy_info or any(l.term == t for l in lights)
-    ]
-    scorer = make_range_scorer(lights, qmeta, theta0, k, stats, cfg)
+    scorer = make_range_scorer(lights, _qmeta(heavy_info), theta0, k, stats, cfg)
     result = (
         heavy.withColumn("task_group", F.pmod(F.col("range_id"), F.lit(task_groups)))
         .groupBy("task_group")
@@ -321,4 +353,4 @@ def search_index(
     all_scores = np.concatenate(
         [lscores, np.array([r["score"] for r in result], np.float64)]
     )
-    return _topk_merge(all_docs, all_scores, k)
+    return _topk_merge(all_docs, all_scores, k)[:k_out]

@@ -32,6 +32,9 @@ class Engine:
         self.cfg = cfg or EngineConfig()
         self.paths = IndexPaths(index_root)
         self.stats_ = load_stats(index_root)  # raises if index absent
+        # cached segment relation: avoids per-query file listing + schema
+        # inference (the dominant cost of small queries)
+        self._segments = spark.read.parquet(self.paths.segments)
 
     @classmethod
     def build(
@@ -52,7 +55,15 @@ class Engine:
 
     def search(self, query: str | dict[str, int], k: int | None = None) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), rank-identical to the exact oracle."""
-        return search_index(self.spark, self.paths.root, query, self.cfg, k=k)
+        return search_index(
+            self.spark,
+            self.paths.root,
+            query,
+            self.cfg,
+            k=k,
+            seg_df=self._segments,
+            stats=self.stats_,
+        )
 
     def search_df(self, query: str | dict[str, int], k: int | None = None) -> DataFrame:
         """Hydrated ranked results (J1 broadcast join + sha verification +
@@ -88,7 +99,11 @@ class Engine:
             "manifests": list_manifests(self.paths.root),
         }
 
-    def verify(self) -> dict:
-        """Full-scan integrity verify (A4 analog — fails on any bad row at
-        the call site, like the reference's boot verify)."""
-        return verify_corpus(self.documents(), self.cfg)
+    def verify(self, strict: bool = False) -> dict:
+        """Full-scan integrity verify (A4 analog). With ``strict`` the call
+        raises on any bad row, like the reference's boot-time verify that
+        fails the process (search_provider.rs:289-327, invoked at :122)."""
+        v = verify_corpus(self.documents(), self.cfg)
+        if strict and (v["sha_mismatch"] or v["null_content"]):
+            raise RuntimeError(f"corpus integrity verify failed: {v}")
+        return v
