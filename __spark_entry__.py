@@ -60,8 +60,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # engine-shaped view of the driver's documents table
-    return _t(spark, sf_dir, "documents").withColumnRenamed("text", "content")
+    # engine-shaped view of the driver's documents table, routed through
+    # the iceberg-or-parquet source layer (input_hint: Iceberg table; this
+    # sandbox's testdata is plain parquet, which "auto" detects)
+    from dawnsearch_spark.sources import read_documents
+
+    df = read_documents(spark, f"{sf_dir}/documents.parquet", format="auto")
+    return df.withColumnRenamed("text", "content")
 
 
 # --------------------------------------------------------------------------
@@ -366,52 +371,180 @@ def q_dedup_kept(spark, sf_dir):
     return dedup_exact(docs).select("doc_id")
 
 
-# ---- rows-only entries (no SQL-expressible oracle; the driver records a
-# weaker rows-only check per the contract) ----
+# ---- approx family: the hash/assignment internals are not expressible in
+# ANSI SQL (NumPy minhash family, hyperplane signs, centroid matmul), so
+# each entry PERSISTS the Spark-computed signature/assignment table to
+# parquet and both sides — the returned Spark DataFrame and the DuckDB
+# oracle — compute the banding / probe / verification logic from that same
+# exported table. The oracle therefore fully checks the candidate-join,
+# skew-cap and verification semantics. ----
+
+_EXPORT_ROOT = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "dawnsearch_oracle_export"
+)
+_BAND_BUCKET_CAP = 500
+
+
+def _export(df: DataFrame, name: str) -> DataFrame:
+    path = os.path.join(_EXPORT_ROOT, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidates, exact-Jaccard-verified."""
-    from dawnsearch_spark.operators.dedup import minhash_lsh_pairs
+    """MinHash+LSH near-dup candidates, exact-Jaccard-verified; band rows
+    and shingle sets exported for the DuckDB twin."""
+    from dawnsearch_spark.operators.dedup import (
+        band_candidates,
+        minhash_band_rows,
+        shingle_sets,
+        verified_jaccard_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.5, bands=8, rows_per_band=8)
+    shingled = _export(shingle_sets(docs, "text", "doc_id", 3), "minhash_shingles")
+    rows = _export(minhash_band_rows(shingled, bands=8, rows_per_band=8), "minhash_bands")
+    cand = band_candidates(rows, max_band_bucket=_BAND_BUCKET_CAP)
+    return verified_jaccard_pairs(cand, shingled, threshold=0.5)
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs within Hamming distance 3 (banded blocking)."""
-    from dawnsearch_spark.operators.dedup import simhash_near_pairs
+    """SimHash near-dup pairs within Hamming distance 3 (banded blocking);
+    the 64-bit signature table is exported for the DuckDB twin."""
+    from dawnsearch_spark.operators.dedup import simhash64, simhash_pairs_from
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, max_hamming=3)
+    sim = _export(simhash64(docs), "simhash")
+    return simhash_pairs_from(
+        sim, max_hamming=3, id_col="doc_id", max_band_bucket=_BAND_BUCKET_CAP
+    )
 
 
 def q_lsh_topk(spark, sf_dir):
-    """ANN scale path: hyperplane-LSH bucketed cosine top-k."""
-    from dawnsearch_spark.operators.similarity import lsh_bucket_topk
+    """ANN scale path: hyperplane-LSH bucketed cosine top-k; the bucket
+    assignment + query bucket are exported for the DuckDB twin."""
+    from dawnsearch_spark.operators.similarity import (
+        cosine_topk,
+        lsh_assign,
+        lsh_query_bucket,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return lsh_bucket_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, n_planes=6)
+    data = emb.filter(F.col("vec_id") != 0)
+    assigned = _export(lsh_assign(data, n_planes=6), "lsh_assign")
+    qb = lsh_query_bucket(qvec, n_planes=6)
+    _export(spark.createDataFrame([(qb,)], "qbucket long"), "lsh_query")
+    sel = data.join(
+        F.broadcast(assigned.filter(F.col("bucket") == qb).select("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
+    return cosine_topk(sel, qvec, k=10)
 
 
 def q_ivf_topk(spark, sf_dir):
-    """ANN scale path: IVF coarse-quantizer probe search."""
-    from dawnsearch_spark.operators.similarity import ivf_topk
+    """ANN scale path: IVF coarse-quantizer probe search; the cell
+    assignment + probe set are exported for the DuckDB twin."""
+    from dawnsearch_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_probe_cells,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return ivf_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, n_cells=16, nprobe=4)
+    data = emb.filter(F.col("vec_id") != 0)
+    assigned = _export(ivf_assign(data, n_cells=16), "ivf_assign")
+    probe = ivf_probe_cells(qvec, n_cells=16, nprobe=4)
+    _export(spark.createDataFrame([(c,) for c in probe], "cell int"), "ivf_probe")
+    sel = data.join(
+        F.broadcast(assigned.filter(F.col("cell").isin(probe)).select("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
+    return cosine_topk(sel, qvec, k=10)
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary media column -> vectorized features."""
-    from dawnsearch_spark.operators.multimodal import extract_features, synthesize_media
+    """Multimodal plumbing: binary media column -> vectorized per-byte
+    features, emitted as scalar columns (driver-hashable) with a DuckDB
+    twin over the hex expansion of the same payload bytes. The
+    array-valued ``extract_features`` stays the library API."""
+    from dawnsearch_spark.operators.multimodal import (
+        extract_feature_counts,
+        synthesize_media,
+    )
 
     docs = _t(spark, sf_dir, "documents").withColumnRenamed("text", "content")
-    return extract_features(synthesize_media(docs.limit(100)))
+    media = synthesize_media(docs.filter(F.col("doc_id") < 100))
+    return extract_feature_counts(media)
 
 
 # --------------------------------------------------------------------------
+
+
+_WAND_CFG = None  # lazy singleton (EngineConfig import is at module top)
+
+
+def _wand_cfg() -> "EngineConfig":
+    """Index config for the driver-table WAND entries: small ranges/blocks
+    and a low heavy-df threshold so even the sf0.01 documents table
+    exercises heavy (salted) lists, multi-block rows and multi-range
+    merges — the full segment/codec/merge/WAND stack, not a degenerate
+    all-light index."""
+    global _WAND_CFG
+    if _WAND_CFG is None:
+        from dataclasses import replace
+
+        _WAND_CFG = replace(
+            EngineConfig(),
+            range_size=256,
+            block_size=32,
+            heavy_df_threshold=64,
+            num_salts=4,
+            num_term_buckets=8,
+            build_partitions=8,
+        )
+    return _WAND_CFG
+
+
+def _wand_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse via manifests — build_index is resumable and
+    idempotent) a real segment index over this sf_dir's documents table."""
+    import hashlib
+    import tempfile
+
+    from dawnsearch_spark.index_build import build_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"dawnsearch_driver_idx_{tag}")
+    build_index(spark, _docs(spark, sf_dir), root, _wand_cfg(), n_groups=2)
+    return root
+
+
+def _wand_topk(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """T2/T4/S4/S6/S7/X8 end-to-end: tokenize -> salted posting runs ->
+    varbyte block-max segments -> k-way merge -> block-max WAND top-k.
+    Driver-verified against the same exact-BM25 SQL oracle as the
+    full-scan scorer (reference oracle pattern:
+    /root/reference/examples_old/search.rs:44-72)."""
+    from dawnsearch_spark.operators.wand import search_index
+
+    root = _wand_index_root(spark, sf_dir)
+    hits = search_index(spark, root, query, _wand_cfg())
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits] or [], "doc_id long, score double"
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_wand_topk_1(spark, sf_dir):
+    return _wand_topk(spark, sf_dir, BM25_QUERY_1)
+
+
+def q_wand_topk_2(spark, sf_dir):
+    return _wand_topk(spark, sf_dir, BM25_QUERY_2)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -433,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_freq": q_doc_freq,
         "bm25_topk_1": q_bm25_topk_1,
         "bm25_topk_2": q_bm25_topk_2,
+        "wand_topk_1": q_wand_topk_1,
+        "wand_topk_2": q_wand_topk_2,
         "filter_project": q_filter_project,
         "length_gate": q_length_gate,
         "hydration_join": q_hydration_join,
@@ -452,13 +587,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sha_integrity": q_sha_integrity,
         "capacity_guard": q_capacity_guard,
         "dedup_kept": q_dedup_kept,
-        # rows-only (no oracle_sql entry; driver records weaker check):
+        # approx family: oracle works over the exported signature/
+        # assignment parquet the query fn writes (see _minhash_sql etc.)
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
     }
+
+
+def _minhash_sql() -> str:
+    """Banding + skew cap + exact-Jaccard verification over the exported
+    band-row/shingle tables (q_minhash_pairs writes them first)."""
+    br = f"{_EXPORT_ROOT}/minhash_bands/*.parquet"
+    sh = f"{_EXPORT_ROOT}/minhash_shingles/*.parquet"
+    return f"""
+        WITH br AS (SELECT * FROM read_parquet('{br}')),
+        ok AS (SELECT band, bhash FROM br GROUP BY band, bhash
+               HAVING count(*) <= {_BAND_BUCKET_CAP}),
+        r AS (SELECT br.* FROM br JOIN ok USING (band, bhash)),
+        cand AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
+                 FROM r a JOIN r b USING (band, bhash) WHERE a._id < b._id),
+        sh AS (SELECT * FROM read_parquet('{sh}')),
+        sc AS (SELECT id_a, id_b,
+                 round(len(list_intersect(sa._sh, sb._sh))::DOUBLE
+                       / len(list_distinct(sa._sh || sb._sh)), 6) AS jaccard
+               FROM cand
+               JOIN sh sa ON sa._id = cand.id_a
+               JOIN sh sb ON sb._id = cand.id_b)
+        SELECT id_a, id_b, jaccard FROM sc WHERE jaccard >= 0.5
+    """
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Band blocking + Hamming verification over the exported signature
+    table, band spans identical to ``simhash_bands(max_hamming)``."""
+    from dawnsearch_spark.operators.dedup import simhash_bands
+
+    spans = simhash_bands(max_hamming)
+    unions = "\n              UNION ALL ".join(
+        f"SELECT doc_id AS _id, simhash, {b} AS band, "
+        f"((simhash >> {off}) & {(1 << w) - 1}) AS bkey FROM s"
+        for b, (off, w) in enumerate(spans)
+    )
+    return f"""
+        WITH s AS (SELECT * FROM read_parquet('{_EXPORT_ROOT}/simhash/*.parquet')),
+        b AS ({unions}),
+        ok AS (SELECT band, bkey FROM b GROUP BY band, bkey
+               HAVING count(*) <= {_BAND_BUCKET_CAP}),
+        r AS (SELECT b.* FROM b JOIN ok USING (band, bkey)),
+        cand AS (SELECT DISTINCT a._id AS id_a, bb._id AS id_b,
+                        a.simhash AS ha, bb.simhash AS hb
+                 FROM r a JOIN r bb USING (band, bkey) WHERE a._id < bb._id)
+        SELECT id_a, id_b, bit_count(xor(ha, hb))::INT AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+def _ann_export_sql(sel_sql: str) -> str:
+    """Cosine top-10 over the export-selected candidate ids (float64
+    sequential folds — identical to the Spark cosine evaluation)."""
+    return f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        sel AS ({sel_sql}),
+        sc AS (SELECT e.vec_id, {_cos_sql('e.embedding', 'qv')} AS c
+               FROM embeddings e JOIN sel USING (vec_id) CROSS JOIN q
+               WHERE e.vec_id <> 0)
+        SELECT vec_id, round(c, 6) AS cos FROM sc ORDER BY c DESC, vec_id LIMIT 10
+    """
+
+
+def _media_sql() -> str:
+    """DuckDB twin of extract_feature_counts: high-nibble byte histogram of
+    the UTF-8 payload, recovered from the hex expansion — the char at each
+    odd position of hex(blob) IS the high nibble of that byte."""
+    digits = "0123456789ABCDEF"
+    cols = ",\n                   ".join(
+        f"(length(hn) - length(replace(hn, '{d}', '')))::BIGINT AS c{k}"
+        for k, d in enumerate(digits)
+    )
+    return f"""
+            WITH b AS (
+              SELECT doc_id,
+                     regexp_replace(hex(encode(substring(text, 1, 4096))),
+                                    '(.).', '\\1', 'g') AS hn,
+                     octet_length(encode(substring(text, 1, 4096)))::BIGINT AS n_bytes
+              FROM documents WHERE doc_id < 100)
+            SELECT doc_id, n_bytes,
+                   {cols}
+            FROM b
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -468,7 +687,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doclen_stats": f"""
             WITH dl AS (SELECT len({toks})::BIGINT AS dl FROM documents)
-            SELECT count(*) AS n_docs, sum(dl) AS total_tokens,
+            SELECT count(*) AS n_docs, sum(dl)::BIGINT AS total_tokens,
                    round(avg(dl), 6) AS avgdl FROM dl
         """,
         "term_tf": f"""
@@ -485,6 +704,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk_1": _bm25_sql(BM25_QUERY_1.split()),
         "bm25_topk_2": _bm25_sql(BM25_QUERY_2.split()),
+        # the WAND index path answers against the SAME exact-BM25 oracle:
+        # rank identity of the segment engine is what the BASELINE metric
+        # demands (docIDs AND scores).
+        "wand_topk_1": _bm25_sql(BM25_QUERY_1.split()),
+        "wand_topk_2": _bm25_sql(BM25_QUERY_2.split()),
+        "media_features": _media_sql(),
+        "minhash_pairs": _minhash_sql(),
+        "simhash_pairs": _simhash_sql(3),
+        "lsh_topk": _ann_export_sql(
+            f"""SELECT vec_id FROM read_parquet('{_EXPORT_ROOT}/lsh_assign/*.parquet')
+                WHERE bucket = (SELECT qbucket
+                                FROM read_parquet('{_EXPORT_ROOT}/lsh_query/*.parquet'))"""
+        ),
+        "ivf_topk": _ann_export_sql(
+            f"""SELECT vec_id FROM read_parquet('{_EXPORT_ROOT}/ivf_assign/*.parquet')
+                WHERE cell IN (SELECT cell
+                               FROM read_parquet('{_EXPORT_ROOT}/ivf_probe/*.parquet'))"""
+        ),
         "filter_project": """
             SELECT event_id, user_id,
                    event_type || ':' || user_id::VARCHAR AS tag,

@@ -87,12 +87,19 @@ def main() -> None:
         # timed number reflects steady-state throughput.
         corpus_path = os.path.join(work, "corpus")
         generate_corpus(spark, n_docs, seed=42).write.parquet(corpus_path)
-        docs = spark.read.parquet(corpus_path)
+        from dawnsearch_spark.sources import read_documents
+
+        docs = read_documents(spark, corpus_path)  # iceberg-or-parquet source layer
         warm_cfg = EngineConfig(build_partitions=int(CPUS))
         build_index(
             spark, docs.limit(500), os.path.join(work, "warm"), warm_cfg, n_groups=1
         )
-        timed("index_build", lambda: build_index(spark, docs, idx_dir, cfg, n_groups=2))
+        timed(
+            "index_build",
+            lambda: build_index(
+                spark, docs, idx_dir, cfg, n_groups=4, parallel_groups=4
+            ),
+        )
         extras["docs_indexed"] = n_docs
         extras["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
 

@@ -40,10 +40,27 @@ class EngineConfig:
     block_size: int = 128
 
     # --- skew handling (north_rule: salted groupBy-term) ---
-    # A term whose df exceeds this is "heavy" (stopword-like) and its
-    # stage-1 shuffle is salted into `num_salts` sub-groups.
-    heavy_df_threshold: int = 100_000
+    # A term whose df exceeds the EFFECTIVE threshold is "heavy"
+    # (stopword-like): its postings shuffle as (term, doc_id // range_size)
+    # so no reducer group exceeds range_size postings. An absolute value
+    # here overrides; the default None scales the threshold with the
+    # corpus: clamp(n_docs * heavy_df_ratio, heavy_df_min, heavy_df_max).
+    # Why a ratio: with threshold = r*N the heavy-set size is bounded by
+    # total_postings / (r*N) = avgdl / r — INDEPENDENT of corpus size — so
+    # the broadcast stays small from 10^5 to 10^12 docs, while a fixed
+    # 100k threshold at 10^12 files makes millions of terms heavy.
+    heavy_df_threshold: int | None = None
+    heavy_df_ratio: float = 0.01
+    heavy_df_min: int = 1024
+    # Ceiling so no single unsalted (light) posting list can exceed one
+    # reducer/task's memory regardless of corpus size (1M postings packs
+    # to a few MB of varbyte).
+    heavy_df_max: int = 1_000_000
     num_salts: int = 16
+    # The heavy-term set ships to stage-2 tasks as a Spark broadcast while
+    # it is small; above this size the build falls back to the join-based
+    # salting path (postings.with_salt, shuffle join — slower, unbounded).
+    max_broadcast_heavy_terms: int = 200_000
 
     # --- build ---
     # Stage-1 shuffle partitions for the posting-run build.
@@ -57,6 +74,14 @@ class EngineConfig:
 
     # --- misc ---
     snippet_len: int = 500  # serve-time snippet truncation (web.rs:328 analog)
+
+    def effective_heavy_df_threshold(self, n_docs: int) -> int:
+        """The df above which a term is salted, for a corpus of n_docs."""
+        if self.heavy_df_threshold is not None:
+            return self.heavy_df_threshold
+        return max(
+            self.heavy_df_min, min(int(n_docs * self.heavy_df_ratio), self.heavy_df_max)
+        )
 
     def scaled_for_tests(self) -> "EngineConfig":
         """Small-corpus variant: tiny ranges/thresholds so the heavy-term,
@@ -87,10 +112,11 @@ def load_config(toml_path: str | None = None) -> EngineConfig:
         env_key = _ENV_PREFIX + f.name.upper()
         if env_key in os.environ:
             raw = os.environ[env_key]
-            if f.type in ("int", int):
-                values[f.name] = int(raw)
-            elif f.type in ("float", float):
+            ftype = str(f.type)
+            if "float" in ftype:
                 values[f.name] = float(raw)
+            elif "int" in ftype:  # includes "int | None" (e.g. heavy_df_threshold)
+                values[f.name] = None if raw.lower() in ("", "none") else int(raw)
             elif f.name == "id_cols":
                 values[f.name] = tuple(raw.split(","))
             else:

@@ -32,7 +32,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dawnsearch_spark.config import EngineConfig
@@ -80,6 +80,19 @@ def _ceil_to(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
 
+def _has_success(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _doc_partitions(cfg: EngineConfig, n_groups: int) -> int:
+    """Forward-index file count. This bounds the task parallelism of every
+    downstream tokenize stage (stage-1 term dictionary, stage-2 run build
+    read a doc_id range = a subset of these files), so it must scale with
+    the cluster, not with n_groups: 8 files on a 32-core cluster caps the
+    Arrow stages at ~4 concurrent tasks per group."""
+    return max(n_groups, cfg.build_partitions)
+
+
 def _plan_groups(
     root: str, n_docs: int, n_groups: int, range_size: int, fp: str
 ) -> list[tuple[int, int, int, bool]]:
@@ -125,6 +138,7 @@ def build_index(
     out_dir: str,
     cfg: EngineConfig,
     n_groups: int = 8,
+    parallel_groups: int = 1,
     log=lambda msg: None,
 ) -> dict:
     """Build (or resume) the full index under ``out_dir``. Returns counters."""
@@ -134,24 +148,71 @@ def build_index(
 
     # ---- stage 0: forward index (docID-assigned documents) ----
     if not is_committed(paths.root, "documents", fp):
-        docs = source_docs
-        if "doc_id" not in docs.columns:
-            docs = assign_doc_ids(docs, cfg.id_cols)
-        if "content_sha" not in docs.columns:
-            docs = docs.withColumn("content_sha", F.sha2(F.col(cfg.content_col), 256))
-        (
-            docs.repartitionByRange(max(n_groups, 8), "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(paths.documents)
-        )
-        n = spark.read.parquet(paths.documents).count()
-        write_manifest(
-            paths.root,
-            "documents",
-            {"fingerprint": fp, "n_docs": n, "bytes": dir_bytes(paths.documents)},
-        )
-        log(f"stage0 documents committed: {n} docs")
+        if read_manifest(paths.root, "documents") is None and _has_success(
+            paths.documents
+        ):
+            # Crash recovery (append_documents invalidates the documents
+            # manifest BEFORE mutating the parquet): the parquet is the
+            # source of truth — recount and re-commit instead of
+            # overwriting the forward index. Rows appended right before a
+            # crash simply join the corpus here (their doc_ids are dense by
+            # construction, asserted below).
+            back = spark.read.parquet(paths.documents)
+            agg = back.agg(
+                F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
+            ).collect()[0]
+            n = int(agg["n"])
+            if n != int(agg["mx"] or -1) + 1:
+                raise RuntimeError(
+                    f"forward index at {paths.documents} is not dense "
+                    f"(count={n}, max_id={agg['mx']}); refusing to adopt"
+                )
+            write_manifest(
+                paths.root,
+                "documents",
+                {
+                    "fingerprint": fp,
+                    "n_docs": n,
+                    "bytes": dir_bytes(paths.documents),
+                    "recovered": True,
+                },
+            )
+            log(f"stage0 documents recovered from parquet: {n} docs")
+        else:
+            docs = source_docs
+            if "doc_id" not in docs.columns:
+                if "content_sha" not in docs.columns:
+                    docs = docs.withColumn(
+                        "content_sha", F.sha2(F.col(cfg.content_col), 256)
+                    )
+                # identity-key dedup on the FIRST build too, not only on
+                # appends (reference dedups on every insert,
+                # search_provider.rs:253-263); deterministic keeper =
+                # smallest content_sha per key.
+                w = Window.partitionBy(*cfg.id_cols).orderBy("content_sha")
+                docs = (
+                    docs.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+                docs = assign_doc_ids(docs, cfg.id_cols)
+            if "content_sha" not in docs.columns:
+                docs = docs.withColumn(
+                    "content_sha", F.sha2(F.col(cfg.content_col), 256)
+                )
+            (
+                docs.repartitionByRange(_doc_partitions(cfg, n_groups), "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(paths.documents)
+            )
+            n = spark.read.parquet(paths.documents).count()
+            write_manifest(
+                paths.root,
+                "documents",
+                {"fingerprint": fp, "n_docs": n, "bytes": dir_bytes(paths.documents)},
+            )
+            log(f"stage0 documents committed: {n} docs")
     documents = spark.read.parquet(paths.documents)
 
     # ---- stage 1: corpus stats + term dictionary ----
@@ -162,8 +223,9 @@ def build_index(
     # float division). A separate doclen pass would re-tokenize the corpus.
     if not is_committed(paths.root, "stats", fp):
         n_docs_total = int(read_manifest(paths.root, "documents")["n_docs"])
+        eff_heavy = cfg.effective_heavy_df_threshold(n_docs_total)
         dfs = document_frequencies_fast(documents, cfg.content_col).withColumn(
-            "heavy", F.col("df") > F.lit(cfg.heavy_df_threshold)
+            "heavy", F.col("df") > F.lit(eff_heavy)
         ).withColumn("bucket", F.pmod(F.crc32(F.col("term")), F.lit(cfg.num_term_buckets)))
         dfs.write.mode("overwrite").parquet(paths.terms)
         tstats = spark.read.parquet(paths.terms).agg(
@@ -184,6 +246,7 @@ def build_index(
                 "n_terms": int(tstats["n_terms"]),
                 "n_heavy_terms": int(tstats["n_heavy"] or 0),
                 "n_postings": int(tstats["n_postings"] or 0),
+                "heavy_df_threshold": eff_heavy,
             },
         )
         log(
@@ -200,17 +263,42 @@ def build_index(
     # micro-batch semantics). Fresh build: contiguous range-aligned spans.
     plan = _plan_groups(paths.root, stats.n_docs, n_groups, cfg.range_size, fp)
     actual_groups = len(plan)
-    heavy_set: frozenset[str] | None = None
-    for g, lo, hi, committed in plan:
+    pending = [(g, lo, hi) for g, lo, hi, committed in plan if not committed]
+
+    heavy_bc = None
+    use_join_salting = False
+    if pending:
+        n_heavy = int((read_manifest(paths.root, "stats") or {}).get("n_heavy_terms", 0))
+        if n_heavy <= cfg.max_broadcast_heavy_terms:
+            # tiny (stopword-like terms only): ship once per executor as a
+            # Spark broadcast, NOT captured in each task closure
+            heavy_set = frozenset(
+                r["term"] for r in heavy_terms.select("term").collect()
+            )
+            heavy_bc = spark.sparkContext.broadcast(heavy_set)
+        else:
+            # the heavy set itself is too large to ship — fall back to the
+            # fully-distributed join-based salting (with_salt shuffle join)
+            use_join_salting = True
+            log(
+                f"stage2: {n_heavy} heavy terms > max_broadcast_heavy_terms="
+                f"{cfg.max_broadcast_heavy_terms}; using join-based salting"
+            )
+
+    def _build_group(g: int, lo: int, hi: int) -> None:
         name = f"runs_group_{g}"
-        if committed:
-            continue
-        if heavy_set is None:  # tiny (stopword-like terms only); collect once
-            heavy_set = frozenset(r["term"] for r in heavy_terms.select("term").collect())
         group_docs = documents.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-        runs = build_posting_miniruns(
-            group_docs, heavy_set, cfg.range_size, cfg.content_col
-        )
+        if use_join_salting:
+            from dawnsearch_spark.operators.postings import build_posting_runs, with_salt
+            from dawnsearch_spark.operators.tf import term_frequencies
+
+            tf = term_frequencies(group_docs, cfg.content_col)
+            salted = with_salt(tf, heavy_terms, cfg.range_size, broadcast=False)
+            runs = build_posting_runs(salted, cfg.build_partitions)
+        else:
+            runs = build_posting_miniruns(
+                group_docs, heavy_bc, cfg.range_size, cfg.content_col
+            )
         gdir = os.path.join(paths.runs, f"group={g}")
         runs.write.mode("overwrite").parquet(gdir)
         back = spark.read.parquet(gdir)
@@ -236,15 +324,50 @@ def build_index(
         )
         log(f"stage2 group {g} committed: docs [{lo},{hi}) postings={int(agg['postings'] or 0)}")
 
+    # Groups are independent Spark jobs (disjoint doc ranges, own manifest
+    # granule) — with parallel_groups > 1 they are submitted concurrently
+    # so the scheduler can fill the cluster when one group's stage has
+    # fewer tasks than cores (sequential submission serializes per-group
+    # tail latency). Resume semantics are unchanged: each group commits
+    # its own manifest; a crash leaves whichever groups finished.
+    if parallel_groups > 1 and len(pending) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(parallel_groups, len(pending))) as pool:
+            list(pool.map(lambda args: _build_group(*args), pending))
+    else:
+        for g, lo, hi in pending:
+            _build_group(g, lo, hi)
+
     # ---- stage 3: merge runs -> block-max segments ----
     if not is_committed(paths.root, "segments", fp):
-        runs = spark.read.parquet(paths.runs)
-        runs = reclassify_runs(runs, heavy_terms, cfg)
+        runs_raw = spark.read.parquet(paths.runs)
+        # A term is served EITHER as one light row or as range rows, never
+        # both. The split set is therefore currently-heavy terms PLUS any
+        # term that already has salted runs from earlier groups (a term can
+        # fall back below the ratio threshold when n_docs grows faster
+        # than its df): their new light runs are re-salted so the merge
+        # output stays uniformly range-chunked per term.
+        split_terms = (
+            heavy_terms.select("term")
+            .union(runs_raw.filter(F.col("salt") >= 0).select("term"))
+            .distinct()
+        )
+        runs = reclassify_runs(runs_raw, split_terms, cfg)
+        salted = runs.filter(F.col("salt") >= 0)
         light = merge_light_runs(
             runs.filter(F.col("salt") == -1), stats, cfg, cfg.build_partitions
         )
+        # df for salted rows comes from the FULL dictionary restricted to
+        # the terms that actually have salted runs — never the currently-
+        # heavy-flagged subset: with the ratio threshold, n_docs growth can
+        # move a term back below the threshold between appends, and an
+        # inner join against heavy-only would silently drop its postings.
+        salted_term_df = terms_dict.join(
+            salted.select("term").distinct(), "term", "left_semi"
+        )
         heavy = merge_heavy_runs(
-            runs.filter(F.col("salt") >= 0), heavy_terms, stats, cfg, cfg.build_partitions
+            salted, salted_term_df, stats, cfg, cfg.build_partitions
         )
         seg = light.unionByName(heavy)
         (

@@ -98,6 +98,9 @@ def config_fingerprint(cfg) -> str:
         "range_size": cfg.range_size,
         "block_size": cfg.block_size,
         "heavy_df_threshold": cfg.heavy_df_threshold,
+        "heavy_df_ratio": cfg.heavy_df_ratio,
+        "heavy_df_min": cfg.heavy_df_min,
+        "heavy_df_max": cfg.heavy_df_max,
         "id_cols": list(cfg.id_cols),
     }
     return hashlib.sha256(json.dumps(relevant, sort_keys=True).encode()).hexdigest()[:16]

@@ -17,10 +17,34 @@ shared-shingle and LSH candidate pairs are self-equi-joins on a hash key
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dawnsearch_spark.operators.text_analysis import normalized_fingerprint
+
+#: default skew guards for candidate generation. A single ubiquitous
+#: shingle / degenerate band bucket otherwise produces a quadratic
+#: candidate self-join (the 100-TB scale-killer): a bucket of B members
+#: emits B^2/2 candidate pairs. The caps bound that at cap^2/2 per key and
+#: are far above anything a genuine near-dup cluster needs.
+DEFAULT_MAX_SHINGLE_DF = 1000
+DEFAULT_MAX_BAND_BUCKET = 500
+
+MINHASH_SEED = 0x5EED
+
+
+def drop_oversized_buckets(
+    rows: DataFrame, keys: list[str], cap: int | None
+) -> DataFrame:
+    """Skew guard: drop candidate-generation keys (shingles, band buckets)
+    with more than ``cap`` members. Oversized keys are rare by construction
+    (they are the skew), so their set is broadcast to an anti-join."""
+    if cap is None:
+        return rows
+    big = rows.groupBy(*keys).count().filter(F.col("count") > cap).select(*keys)
+    return rows.join(F.broadcast(big), keys, "left_anti")
 
 
 # ---------- exact ----------
@@ -66,7 +90,7 @@ def jaccard_pairs_exact(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     n: int = 3,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for every pair with shingle-Jaccard >= threshold.
 
@@ -74,16 +98,16 @@ def jaccard_pairs_exact(
     a self-equi-join on exploded shingles (skew guard: ``max_shingle_df``
     drops ubiquitous shingles from candidate *generation* only — with a
     threshold t, a pair is still found via its rarer shared shingles as
-    long as it shares at least one shingle below the cap; at threshold 0
-    exactness requires the cap disabled).
+    long as it shares at least one shingle below the cap; pass ``None`` to
+    disable the cap for small corpora needing threshold-0 exactness —
+    the default cap is ON because an uncapped shingle self-join is
+    quadratic in the df of the most common shingle).
     """
     base = df.select(
         F.col(id_col).alias("_id"), word_shingles(col, n).alias("_sh")
     ).filter(F.size("_sh") > 0)
     ex = base.select("_id", F.explode("_sh").alias("_s"))
-    if max_shingle_df is not None:
-        heavy = ex.groupBy("_s").count().filter(F.col("count") > max_shingle_df)
-        ex = ex.join(F.broadcast(heavy.select("_s")), "_s", "left_anti")
+    ex = drop_oversized_buckets(ex, ["_s"], max_shingle_df)
     cand = (
         ex.alias("a")
         .join(ex.alias("b"), "_s")
@@ -106,16 +130,106 @@ def jaccard_pairs_exact(
 
 # ---------- MinHash + LSH ----------
 
-def minhash_signature(col_shingles: Column, num_hashes: int) -> Column:
-    """MinHash signature: per hash function j, min over shingles of
-    xxhash64(shingle, j) — all JVM-side."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(col_shingles, lambda s: F.xxhash64(s, F.lit(j)))
+def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Universal-hash family h_j(x) = a_j * x + b_j over Z_2^64 (odd a_j)."""
+    rng = np.random.default_rng(seed)
+    a = (rng.integers(1, 2**62, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    return a, b
+
+
+def shingle_sets(df: DataFrame, col: str, id_col: str, n: int) -> DataFrame:
+    """(_id, _sh): distinct sorted n-word shingles, empty docs dropped."""
+    return df.select(
+        F.col(id_col).alias("_id"), word_shingles(col, n).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+
+
+def minhash_band_rows(
+    shingled: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    seed: int = MINHASH_SEED,
+) -> DataFrame:
+    """(_id, band, bhash) LSH band rows from a (_id, _sh) shingle table.
+
+    The whole signature matrix is computed in ONE vectorized NumPy pass per
+    Arrow batch (flatten all shingles -> C-level string hash -> outer
+    universal-hash -> segmented min), instead of ``bands x rows`` separate
+    JVM ``transform``+``xxhash64`` array passes per document — the measured
+    JVM-allocation pathology of this host (BASELINE.md) made that the
+    slowest query in BENCH_r01; this formulation runs on the same Arrow
+    substrate as the index-build hot path."""
+    from collections.abc import Iterator
+
+    num_hashes = bands * rows_per_band
+    a_par, b_par = _minhash_params(num_hashes, seed)
+    fnv_off = np.uint64(0xCBF29CE484222325)
+    fnv_prime = np.uint64(0x100000001B3)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sh_lists = pdf["_sh"].to_numpy()
+            lens = np.fromiter((len(s) for s in sh_lists), np.int64, len(sh_lists))
+            flat = np.concatenate([np.asarray(s, dtype=object) for s in sh_lists])
+            h = pd.util.hash_array(flat, categorize=False).astype(np.uint64)
+            starts = np.zeros(len(lens), np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sig = np.empty((len(pdf), num_hashes), np.uint64)
+            with np.errstate(over="ignore"):
+                for j0 in range(0, num_hashes, 8):  # chunk: bounds peak memory
+                    j1 = min(j0 + 8, num_hashes)
+                    hh = h[:, None] * a_par[None, j0:j1] + b_par[None, j0:j1]
+                    sig[:, j0:j1] = np.minimum.reduceat(hh, starts, axis=0)
+                bh = np.empty((len(pdf), bands), np.uint64)
+                for b in range(bands):
+                    acc = np.full(len(pdf), fnv_off, np.uint64)
+                    for r in range(rows_per_band):
+                        acc = (acc ^ sig[:, b * rows_per_band + r]) * fnv_prime
+                    bh[:, b] = acc
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(pdf["_id"].to_numpy(np.int64), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), len(pdf)),
+                    "bhash": bh.reshape(-1).view(np.int64),
+                }
             )
-            for j in range(num_hashes)
-        ]
+
+    return shingled.mapInPandas(gen, "_id long, band int, bhash long")
+
+
+def verified_jaccard_pairs(
+    cand: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of (id_a, id_b) candidate pairs against
+    the shingle table — precision is exact regardless of how candidates
+    were generated."""
+    sh = shingled
+    return (
+        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.round(F.col("inter").cast("double") / F.col("uni"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def band_candidates(
+    band_rows: DataFrame, max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET
+) -> DataFrame:
+    """Distinct (id_a, id_b) pairs colliding in >= 1 band bucket, with the
+    oversized-bucket skew guard applied before the self-join."""
+    rows = drop_oversized_buckets(band_rows, ["band", "bhash"], max_band_bucket)
+    return (
+        rows.alias("a")
+        .join(rows.alias("b"), ["band", "bhash"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
     )
 
 
@@ -127,56 +241,17 @@ def minhash_lsh_pairs(
     n: int = 3,
     bands: int = 16,
     rows_per_band: int = 4,
+    seed: int = MINHASH_SEED,
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) near-dup pairs via MinHash banding: docs whose
     signatures collide in >= 1 band become candidates; candidates are then
     verified with the exact shingle Jaccard (so output precision is exact;
     recall is the standard LSH S-curve at the chosen bands x rows)."""
-    num_hashes = bands * rows_per_band
-    base = (
-        df.select(F.col(id_col).alias("_id"), word_shingles(col, n).alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
-    )
-    band_rows = base.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                F.transform(
-                                    F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bhash")
-    cand = (
-        band_rows.alias("a")
-        .join(band_rows.alias("b"), ["band", "bhash"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
-    sh = base.select("_id", "_sh")
-    return (
-        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
-        .withColumn("jaccard", F.round(F.col("inter").cast("double") / F.col("uni"), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    shingled = shingle_sets(df, col, id_col, n)
+    rows = minhash_band_rows(shingled, bands, rows_per_band, seed)
+    cand = band_candidates(rows, max_band_bucket)
+    return verified_jaccard_pairs(cand, shingled, threshold)
 
 
 # ---------- SimHash ----------
@@ -201,12 +276,34 @@ def simhash64(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataF
     return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame, col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+def simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
+    """(bit_offset, bit_width) spans splitting 64 bits into max_hamming + 1
+    bands — by pigeonhole, any pair within the Hamming budget leaves at
+    least one band untouched, so banding loses no recall for ANY
+    max_hamming (<= 63), not just the 4x16 layout."""
+    n_bands = max_hamming + 1
+    if n_bands > 64:
+        raise ValueError(f"max_hamming must be <= 63, got {max_hamming}")
+    base, extra = divmod(64, n_bands)
+    spans, off = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < extra else 0)
+        spans.append((off, w))
+        off += w
+    return spans
+
+
+def simhash_pairs_from(
+    sim: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "_id",
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
-    """(id_a, id_b, hamming) pairs within Hamming distance, candidates via
-    4x16-bit band blocking (a pair within distance 3 matches >= 1 band)."""
-    sh = simhash64(df, col, id_col).withColumnRenamed(id_col, "_id")
+    """(id_a, id_b, hamming) from a precomputed (id, simhash) relation —
+    shared by :func:`simhash_near_pairs` and oracle-checked contracts that
+    persist the signature table first."""
+    spans = simhash_bands(max_hamming)
+    sh = sim.withColumnRenamed(id_col, "_id") if id_col != "_id" else sim
     bands = sh.select(
         "_id",
         "simhash",
@@ -215,15 +312,16 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), off)
+                        .bitwiseAND(F.lit(-1 if width >= 64 else (1 << width) - 1))
                         .alias("bkey"),
                     )
-                    for b in range(4)
+                    for b, (off, width) in enumerate(spans)
                 ]
             )
         ).alias("bb"),
     ).select("_id", "simhash", "bb.band", "bb.bkey")
+    bands = drop_oversized_buckets(bands, ["band", "bkey"], max_band_bucket)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bkey"])
@@ -243,6 +341,24 @@ def simhash_near_pairs(
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within Hamming distance, candidates via
+    (max_hamming + 1)-band blocking — a pair within the distance budget
+    always collides in >= 1 band (pigeonhole over the band spans); band
+    buckets larger than ``max_band_bucket`` (e.g. boilerplate/empty-doc
+    collisions) are excluded from candidate generation."""
+    return simhash_pairs_from(
+        simhash64(df, col, id_col), max_hamming, id_col=id_col,
+        max_band_bucket=max_band_bucket,
+    )
+
+
 # ---------- embedding cosine near-dup ----------
 
 def cosine_sim_col(a: Column, b: Column) -> Column:
@@ -259,21 +375,72 @@ def cosine_sim_col(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def embedding_lsh_band_rows(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 24,
+    planes_per_band: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """(_id, band, bkey) random-hyperplane LSH band rows: ONE NumPy matmul
+    per Arrow batch against a seeded (dim x bands*planes) plane matrix;
+    each band key is the sign bit-pattern of its planes. Recall for a pair
+    at cosine c: 1 - (1 - p^r)^bands with p = 1 - acos(c)/pi — at the
+    defaults (24 x 3) a 0.8-cosine pair is missed with prob ~6e-8."""
+    from collections.abc import Iterator
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if planes is None:
+                rng = np.random.default_rng(seed)
+                planes = rng.standard_normal((mat.shape[1], bands * planes_per_band))
+            bits = (mat @ planes) > 0
+            keys = (bits.reshape(len(pdf), bands, planes_per_band) * weights).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(pdf[id_col].to_numpy(np.int64), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), len(pdf)),
+                    "bhash": keys.reshape(-1),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, "_id long, band int, bhash long")
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
+    bands: int = 24,
+    planes_per_band: int = 3,
+    seed: int = 7,
+    max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
-    """(id_a, id_b, cos) pairs with cosine >= threshold — brute-force
-    all-pairs (exact baseline; at scale use similarity.lsh_bucket_pairs
-    for candidate generation instead)."""
+    """(id_a, id_b, cos) pairs with cosine >= threshold.
+
+    Default path: hyperplane-LSH band candidates (band self-join with the
+    oversized-bucket guard), exact float64 cosine verified on candidates
+    only — precision exact, recall ~1 at the default banding. ``exact=True``
+    keeps the brute-force all-pairs crossJoin as a small-corpus test
+    oracle; it is O(n^2) and must never be the wired path at scale."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        rows = embedding_lsh_band_rows(emb, id_col, vec_col, bands, planes_per_band, seed)
+        pairs = band_candidates(rows, max_band_bucket)
+        cand = pairs.join(a, "id_a").join(b, "id_b")
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine_sim_col(F.col("va"), F.col("vb")), 6))
+        cand.withColumn("cos", F.round(cosine_sim_col(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -28,20 +28,26 @@ def hydrate_topk(
 
     The top-k side is tiny (k rows) so it is broadcast — the scan side
     prunes to the joined ids via the broadcast hash join (no shuffle of the
-    documents table).
+    documents table). Plan shape matters: the join runs FIRST, and the
+    sha256 + snippet projections are computed on the k joined rows only —
+    projecting below the join would hash/truncate the full corpus per query
+    (full-corpus crypto belongs to ``verify_corpus``, not the search path).
     """
     cols = [c for c in ("repo", "path", "commit", "lang") if c in documents.columns]
     sel = documents.select(
         "doc_id",
         *cols,
-        F.substring(F.col(cfg.content_col), 1, cfg.snippet_len).alias("snippet"),
-        F.sha2(F.col(cfg.content_col), 256).alias("_computed_sha"),
+        cfg.content_col,
         *(["content_sha"] if "content_sha" in documents.columns else []),
     )
     out = sel.join(F.broadcast(topk), "doc_id", "inner")
     if verify_sha and "content_sha" in documents.columns:
-        out = out.withColumn("sha_ok", F.col("_computed_sha") == F.col("content_sha"))
-    out = out.drop("_computed_sha")
+        out = out.withColumn(
+            "sha_ok", F.sha2(F.col(cfg.content_col), 256) == F.col("content_sha")
+        )
+    out = out.withColumn(
+        "snippet", F.substring(F.col(cfg.content_col), 1, cfg.snippet_len)
+    ).drop(cfg.content_col)
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
 

@@ -91,10 +91,43 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     )
 
 
+def extract_feature_counts(media: DataFrame) -> DataFrame:
+    """Scalar-column variant of :func:`extract_features` for oracle-checked
+    contracts: (doc_id, n_bytes, c0..c15) where ``ck`` is the exact count
+    of payload bytes whose high nibble equals ``k``. Integer-exact (no
+    normalization), so a SQL engine can reproduce it bit-for-bit from the
+    hex expansion of the payload. Same segmented-bincount NumPy pass as
+    ``extract_features``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            blobs = pdf["media"].to_numpy()
+            lens = np.array([len(b) for b in blobs], np.int64)
+            flat = np.frombuffer(b"".join(blobs), np.uint8)
+            seg = np.repeat(np.arange(len(blobs)), lens)
+            hist = np.zeros((len(blobs), FEATURE_DIM), np.int64)
+            np.add.at(hist, (seg, flat >> 4), 1)
+            out = {"doc_id": pdf["doc_id"], "n_bytes": lens}
+            for k in range(FEATURE_DIM):
+                out[f"c{k}"] = hist[:, k]
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, n_bytes long, " + ", ".join(
+        f"c{k} long" for k in range(FEATURE_DIM)
+    )
+    return media.select("doc_id", "media").mapInPandas(gen, schema)
+
+
 def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
     """Frame-sampling plumbing demo: emit up to ``max_frames`` fixed-stride
     byte windows per payload as (doc_id, frame_no, frame binary) — the
-    shape a video frame sampler would have; windowing is native Spark."""
+    shape a video frame sampler would have; windowing is native Spark.
+
+    The window is taken on the binary column directly (``substring`` on
+    BinaryType slices bytes) — no string round-trip, so arbitrary non-UTF-8
+    payloads (real image/audio bytes) keep exact byte boundaries."""
     idx = F.sequence(F.lit(0), F.lit(max_frames - 1))
     return (
         media.select(
@@ -106,19 +139,17 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
                         lambda i: F.struct(
                             i.alias("frame_no"),
                             F.substring(
-                                F.col("media").cast("string"),
-                                i * every_n_bytes + 1,
-                                every_n_bytes,
-                            ).alias("frame_str"),
+                                F.col("media"), i * every_n_bytes + 1, every_n_bytes
+                            ).alias("frame"),
                         ),
                     ),
-                    lambda s: F.length(s["frame_str"]) > 0,
+                    lambda s: F.length(s["frame"]) > 0,
                 )
             ).alias("fr"),
         )
         .select(
             "doc_id",
             F.col("fr.frame_no").alias("frame_no"),
-            F.encode(F.col("fr.frame_str"), "UTF-8").alias("frame"),
+            F.col("fr.frame").alias("frame"),
         )
     )

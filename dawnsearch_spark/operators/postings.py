@@ -38,13 +38,19 @@ RUN_SCHEMA = (
 RUN_COLS = ["term", "salt", "doc_id", "tf", "dl"]
 
 
-def with_salt(tf: DataFrame, heavy_terms: DataFrame, range_size: int) -> DataFrame:
-    """Add the shuffle salt: doc-range id for heavy terms, -1 for light."""
-    marked = tf.join(
-        F.broadcast(heavy_terms.select("term").withColumn("_heavy", F.lit(True))),
-        "term",
-        "left",
-    )
+def with_salt(
+    tf: DataFrame, heavy_terms: DataFrame, range_size: int, broadcast: bool = True
+) -> DataFrame:
+    """Add the shuffle salt: doc-range id for heavy terms, -1 for light.
+
+    ``broadcast=False`` drops the broadcast hint for the case that makes
+    this path necessary at all — a heavy set too large to ship (see
+    ``EngineConfig.max_broadcast_heavy_terms``); the join then goes through
+    a regular shuffle join (AQE picks the strategy)."""
+    marked_dim = heavy_terms.select("term").withColumn("_heavy", F.lit(True))
+    if broadcast:
+        marked_dim = F.broadcast(marked_dim)
+    marked = tf.join(marked_dim, "term", "left")
     return marked.withColumn(
         "salt",
         F.when(F.col("_heavy"), (F.col("doc_id") / F.lit(range_size)).cast("long")).otherwise(
@@ -206,7 +212,7 @@ def build_posting_runs(tf_salted: DataFrame, parts: int) -> DataFrame:
 
 def build_posting_miniruns(
     docs: DataFrame,
-    heavy_terms: frozenset[str],
+    heavy_terms,
     range_size: int,
     content_col: str = "content",
 ) -> DataFrame:
@@ -218,19 +224,25 @@ def build_posting_miniruns(
     (term, salt) per batch), which the stage-3 merge combines into final
     posting lists exactly like multi-group runs. Salting: heavy
     (stopword-like) terms get salt = doc_id // range_size (the doc-range
-    chunk of the final index); light terms salt = -1. The heavy set is a
-    tiny driver-broadcast closure (~hundreds of stopword-like terms).
+    chunk of the final index); light terms salt = -1.
+
+    ``heavy_terms`` is a frozenset OR a ``pyspark.Broadcast`` of one — a
+    broadcast ships the set once per executor instead of pickling it into
+    every task closure (the set is bounded ~avgdl/heavy_df_ratio by the
+    ratio threshold, but once-per-executor is the right transport anyway;
+    sets above ``max_broadcast_heavy_terms`` use ``with_salt`` instead).
     """
     from dawnsearch_spark.operators.tf import tf_frame
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hv = heavy_terms.value if hasattr(heavy_terms, "value") else heavy_terms
         for pdf in batches:
             if not len(pdf):
                 continue
             tf = tf_frame(pdf, content_col)
             if not len(tf):
                 continue
-            heavy_mask = tf["term"].isin(heavy_terms).to_numpy()
+            heavy_mask = tf["term"].isin(hv).to_numpy()
             salt = np.full(len(tf), -1, np.int64)
             salt[heavy_mask] = tf["doc_id"].to_numpy(np.int64)[heavy_mask] // range_size
             tf["salt"] = salt

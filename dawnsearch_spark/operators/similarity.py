@@ -73,6 +73,42 @@ def lsh_bucket_id(vec_col, planes: np.ndarray):
     return bucket
 
 
+def lsh_assign(
+    emb: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): sign-of-hyperplane bucket per vector — one NumPy
+    matmul per Arrow batch (replaces ``n_planes`` separate JVM fold passes;
+    same Arrow substrate as the index-build hot path). At cluster scale
+    this runs once at WRITE time and ``bucket`` becomes a partition column,
+    turning every query into a partition-pruned scan."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if planes is None:
+                planes = _hyperplanes(mat.shape[1], n_planes, seed)
+            bits = (mat @ planes.T) > 0
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "bucket": (bits * weights).sum(axis=1)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, f"{id_col} long, bucket long")
+
+
+def lsh_query_bucket(qvec: list[float], n_planes: int = 8, seed: int = 42) -> int:
+    planes = _hyperplanes(len(qvec), n_planes, seed)
+    q = np.asarray(qvec, np.float64)
+    return int(sum(2**i for i, p in enumerate(planes) if float(p @ q) > 0))
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     qvec: list[float],
@@ -83,16 +119,17 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: scan only the query's LSH bucket. At cluster
-    scale the bucket id is a write-time partition column, so this becomes
-    a partition-pruned scan instead of a full pass."""
-    dim = len(qvec)
-    planes = _hyperplanes(dim, n_planes, seed)
-    q = np.asarray(qvec, np.float64)
-    qbucket = int(sum(2**i for i, p in enumerate(planes) if float(p @ q) > 0))
-    bucketed = emb.withColumn("_bucket", lsh_bucket_id(F.col(vec_col), planes))
-    return cosine_topk(
-        bucketed.filter(F.col("_bucket") == qbucket), qvec, k, id_col, vec_col
+    scale the bucket id is a write-time partition column (see
+    :func:`lsh_assign`), so this becomes a partition-pruned scan instead
+    of a full pass."""
+    qbucket = lsh_query_bucket(qvec, n_planes, seed)
+    assigned = lsh_assign(emb, n_planes, seed, id_col, vec_col)
+    sel = emb.join(
+        F.broadcast(assigned.filter(F.col("bucket") == qbucket).select(id_col)),
+        id_col,
+        "left_semi",
     )
+    return cosine_topk(sel, qvec, k, id_col, vec_col)
 
 
 def _centroids(dim: int, n_cells: int, seed: int = 42) -> np.ndarray:
@@ -126,6 +163,16 @@ def ivf_assign(
     return emb.mapInPandas(gen, f"{id_col} long, cell int")
 
 
+def ivf_probe_cells(
+    qvec: list[float], n_cells: int = 16, nprobe: int = 4, seed: int = 42
+) -> list[int]:
+    """The ``nprobe`` cells nearest (cosine) to the query vector."""
+    q = np.asarray(qvec, np.float64)
+    cents = _centroids(len(qvec), n_cells, seed)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    return [int(c) for c in np.argsort(-(cents @ qn), kind="stable")[:nprobe]]
+
+
 def ivf_topk(
     emb: DataFrame,
     qvec: list[float],
@@ -140,11 +187,7 @@ def ivf_topk(
     (At scale the cell is a write-time partition column -> pruned scan;
     reference analog: bucket multi-assignment INSERT_COUNT=3,
     examples_old/search_bucket.rs:15-90.)"""
-    q = np.asarray(qvec, np.float64)
-    dimq = len(qvec)
-    cents = _centroids(dimq, n_cells, seed)
-    qn = q / (np.linalg.norm(q) or 1.0)
-    probe = np.argsort(-(cents @ qn), kind="stable")[:nprobe].tolist()
+    probe = ivf_probe_cells(qvec, n_cells, nprobe, seed)
     assigned = ivf_assign(emb, n_cells, seed, id_col, vec_col)
     sel = emb.join(
         F.broadcast(assigned.filter(F.col("cell").isin(probe)).select(id_col)),

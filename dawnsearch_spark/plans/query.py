@@ -50,6 +50,18 @@ class Engine:
         build_index(spark, docs, index_root, cfg, n_groups=n_groups, log=log)
         return cls(spark, index_root, cfg)
 
+    def refresh(self) -> "Engine":
+        """Re-sync a live Engine after the index changed on disk (e.g. an
+        ``append_documents`` rewrote the segments directory): drops cached
+        file listings and re-reads stats + the segments relation. Without
+        this, a live Engine's queries read dropped files
+        (FileNotFoundException) or serve stale stats."""
+        self.spark.catalog.refreshByPath(self.paths.segments)
+        self.spark.catalog.refreshByPath(self.paths.documents)
+        self.stats_ = load_stats(self.paths.root)
+        self._segments = self.spark.read.parquet(self.paths.segments)
+        return self
+
     def documents(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.documents)
 

@@ -40,6 +40,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("DAWNSEARCH_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Split packing caps task parallelism: the default 128 MB split +
+        # 4 MB open-cost packs a build group's ~6 MB forward-index files
+        # into 1-2 splits, starving the Arrow tokenize stages (task count =
+        # split count) no matter how many cores exist. 16 MB keeps split
+        # count >= file count at bench scale; at 100-TB scale files are
+        # row-group-sized and this conf is the standard knob to retune.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     )
     # Local mode funnels every shuffle through one disk, which serializes
     # the build no matter how many cores run — on a real cluster shuffle IO

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dawnsearch_spark.config import EngineConfig
-from dawnsearch_spark.index_build import IndexPaths, build_index, load_stats
+from dawnsearch_spark.index_build import IndexPaths, build_index
 from dawnsearch_spark.manifest import MANIFEST_DIR, write_manifest
 from dawnsearch_spark.operators.docids import assign_doc_ids
 
@@ -49,10 +49,30 @@ def append_documents(
     n_groups: int = 1,
     log=lambda m: None,
 ) -> dict:
-    """Append new documents and bring the index fully up to date."""
+    """Append new documents and bring the index fully up to date.
+
+    Crash safety (no torn-append window): the doc_id base comes from
+    ``max(doc_id) + 1`` of the forward-index parquet itself — never from
+    the stats manifest, which may be stale after a crash — and the derived
+    manifests (stats, segments, documents) are invalidated BEFORE the
+    parquet append. A crash at any point then leaves one of two states:
+    (a) manifests invalidated, parquet untouched — the next build recovers
+    the documents manifest by recount; (b) rows appended, manifests still
+    missing — same recovery path adopts the appended rows (their ids are
+    dense on top of the old max). Duplicate doc_ids can never be minted.
+    """
     paths = IndexPaths(index_root)
-    stats = load_stats(index_root)
     existing = spark.read.parquet(paths.documents)
+    agg = existing.agg(
+        F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
+    ).collect()[0]
+    n_existing = int(agg["n"])
+    base = int(agg["mx"]) + 1 if agg["mx"] is not None else 0
+    if base != n_existing:
+        raise RuntimeError(
+            f"forward index not dense (count={n_existing}, max+1={base}); "
+            "refusing to append"
+        )
 
     # insert-dedup: drop docs whose identity key already exists (J2)
     key = list(cfg.id_cols)
@@ -62,14 +82,15 @@ def append_documents(
     if "doc_id" in fresh.columns:
         fresh = fresh.drop("doc_id")
     fresh = assign_doc_ids(fresh, cfg.id_cols).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(stats.n_docs)
+        "doc_id", F.col("doc_id") + F.lit(base)
     )
     if "content_sha" not in fresh.columns:
         fresh = fresh.withColumn("content_sha", F.sha2(F.col(cfg.content_col), 256))
     n_new = fresh.count()
     if n_new == 0:
         log("append: nothing new after dedup")
-        return {"appended": 0, "n_docs": stats.n_docs}
+        return {"appended": 0, "n_docs": n_existing}
+    _invalidate(paths.root, ["stats", "segments", "documents"])
     fresh.select(*existing.columns).repartitionByRange(
         max(1, n_groups), "doc_id"
     ).sortWithinPartitions("doc_id").write.mode("append").parquet(paths.documents)
@@ -79,10 +100,9 @@ def append_documents(
     write_manifest(
         paths.root,
         "documents",
-        {"fingerprint": fp, "n_docs": stats.n_docs + n_new, "appended": n_new},
+        {"fingerprint": fp, "n_docs": base + n_new, "appended": n_new},
     )
-    _invalidate(paths.root, ["stats", "segments"])
-    log(f"append: {n_new} new docs (total {stats.n_docs + n_new}); rebuilding stats+merge")
+    log(f"append: {n_new} new docs (total {base + n_new}); rebuilding stats+merge")
     counters = build_index(spark, existing, index_root, cfg, n_groups=n_groups, log=log)
     counters["appended"] = n_new
     return counters

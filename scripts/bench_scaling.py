@@ -50,20 +50,25 @@ def run_one(cores: int, corpus: str, docs: int) -> None:
             "spark.memory.offHeap.size": "2g",
         },
     )
+    # IDENTICAL job config at both cluster sizes (the north rule measures
+    # the same job at N and 4N executors): fixed partition counts sized for
+    # the larger cluster — the small cluster just runs more waves.
     cfg = EngineConfig(
         heavy_df_threshold=max(1000, docs // 8),
         range_size=4096,
         num_term_buckets=32,
-        build_partitions=cores * 2,
+        build_partitions=64,
     )
     src = spark.read.parquet(corpus)
     with tempfile.TemporaryDirectory() as tmp:
         build_index(
             spark, src.limit(500), os.path.join(tmp, "warm"),
-            EngineConfig(build_partitions=cores), n_groups=1,
+            EngineConfig(build_partitions=16), n_groups=1,
         )
         t0 = time.time()
-        build_index(spark, src, os.path.join(tmp, "idx"), cfg, n_groups=2)
+        build_index(
+            spark, src, os.path.join(tmp, "idx"), cfg, n_groups=4, parallel_groups=4
+        )
         elapsed = time.time() - t0
         # isolate the tokenize+TF kernel — the engine's dominant compute,
         # which runs in per-core Python worker processes (the substrate

@@ -27,7 +27,18 @@ from dawnsearch_spark.session import get_spark
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", help="documents parquet (repo,path,commit,lang,content)")
+    ap.add_argument(
+        "--docs",
+        help="documents source: Iceberg table (catalog id or table path) or "
+        "parquet dir, columns (repo,path,commit,lang,content)",
+    )
+    ap.add_argument(
+        "--format",
+        default="auto",
+        choices=["auto", "iceberg", "parquet"],
+        help="source format (auto detects an Iceberg table layout)",
+    )
+    ap.add_argument("--snapshot-id", type=int, default=None, help="Iceberg snapshot to pin")
     ap.add_argument("--synthetic", type=int, default=0, help="generate N synthetic docs instead")
     ap.add_argument("--out", required=True)
     ap.add_argument("--groups", type=int, default=8)
@@ -41,7 +52,11 @@ def main() -> None:
     if args.synthetic:
         docs = generate_corpus(spark, args.synthetic)
     else:
-        docs = spark.read.parquet(args.docs)
+        from dawnsearch_spark.sources import read_documents
+
+        docs = read_documents(
+            spark, args.docs, format=args.format, snapshot_id=args.snapshot_id
+        )
 
     t0 = time.time()
     engine = Engine.build(spark, docs, args.out, cfg, n_groups=args.groups, log=print)

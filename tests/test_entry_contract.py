@@ -43,6 +43,16 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 def _compare(sdf: pd.DataFrame, odf: pd.DataFrame, name: str):
     assert sorted(sdf.columns) == sorted(odf.columns), f"{name}: column names differ"
     assert len(sdf) == len(odf), f"{name}: row counts differ ({len(sdf)} vs {len(odf)})"
+    # dtype-kind audit BEFORE normalization: the driver hashes raw values,
+    # so an oracle-side type drift (e.g. DuckDB HUGEINT from an uncast
+    # sum(BIGINT) arriving as float64/object) must fail here even when the
+    # normalized values match.
+    for c in sdf.columns:
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        assert sk == ok or {sk, ok} <= {"i", "u"}, (
+            f"{name}.{c}: dtype kind drift (spark {sdf[c].dtype} "
+            f"vs oracle {odf[c].dtype}) — cast the oracle expression"
+        )
     s, o = _normalize(sdf), _normalize(odf)
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
@@ -59,9 +69,10 @@ def _compare(sdf: pd.DataFrame, odf: pd.DataFrame, name: str):
             assert list(sv) == list(ov), f"{name}.{c}: values differ"
 
 
-# non-SQL-expressible operators (LSH internals, IVF assignment, binary
-# media features): the driver records a rows-only check for these
-ROWS_ONLY = {"minhash_pairs", "simhash_pairs", "lsh_topk", "ivf_topk", "media_features"}
+# every queries() entry now carries an oracle (the approx family verifies
+# against its exported signature/assignment tables); kept as a mechanism
+# for future genuinely non-SQL-expressible ops
+ROWS_ONLY: set[str] = set()
 NAMES = sorted(set(entrymod.queries()) - ROWS_ONLY)
 
 
@@ -80,8 +91,10 @@ def test_query_matches_oracle(spark, ddb, name):
     _compare(sdf, odf, name)
 
 
-@pytest.mark.parametrize("name", sorted(ROWS_ONLY))
+@pytest.mark.parametrize("name", sorted(ROWS_ONLY) or ["<none>"])
 def test_rows_only_queries_run(spark, name):
+    if name == "<none>":
+        pytest.skip("no rows-only entries — everything is oracle-checked")
     df = entrymod.queries()[name](spark, SF_DIR)
     assert df.count() >= 0 and len(df.columns) > 0
 

@@ -71,6 +71,55 @@ def test_append_dedups_existing_docs(spark, cfg, corpora, tmp_path):
     assert load_stats(d).n_docs == 300
 
 
+def test_append_crash_recovery(spark, cfg, corpora, tmp_path, monkeypatch):
+    """Torn-append window (ADVICE r1): rows already appended to the forward
+    index, manifests not yet rewritten. The next build must ADOPT the
+    appended rows (recount, never overwrite), doc_ids stay dense/unique,
+    and a re-append of the same docs dedups to zero."""
+    base, extra, _ = corpora
+    d = str(tmp_path / "crash")
+    build_index(spark, base, d, cfg, n_groups=1)
+
+    import dawnsearch_spark.streaming.incremental as inc
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(inc, "write_manifest", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        append_documents(spark, d, extra, cfg)
+    monkeypatch.undo()
+
+    ms = list_manifests(d)
+    assert "documents" not in ms and "stats" not in ms  # invalidated pre-append
+
+    build_index(spark, spark.read.parquet(d + "/documents"), d, cfg, n_groups=1)
+    assert load_stats(d).n_docs == 400
+    docs = spark.read.parquet(d + "/documents")
+    assert docs.count() == 400
+    assert docs.select("doc_id").distinct().count() == 400  # no duplicate ids
+    e = Engine(spark, d, cfg)
+    assert len(e.search("parse http request")) == cfg.top_k
+    # the same batch appended again is fully deduped (ids never re-minted)
+    res = append_documents(spark, d, extra, cfg)
+    assert res["appended"] == 0 and load_stats(d).n_docs == 400
+
+
+def test_engine_refresh_after_append(spark, cfg, corpora, tmp_path):
+    """A live Engine refresh()es to the post-append index instead of
+    reading dropped segment files (ADVICE r1)."""
+    base, extra, _ = corpora
+    d = str(tmp_path / "refresh")
+    build_index(spark, base, d, cfg, n_groups=1)
+    e = Engine(spark, d, cfg)
+    assert e.stats_.n_docs == 300
+    append_documents(spark, d, extra, cfg, n_groups=1)
+    e.refresh()
+    assert e.stats_.n_docs == 400
+    hits = e.search("parse http request")
+    assert len(hits) == cfg.top_k
+
+
 def test_streaming_foreachbatch_append(spark, cfg, corpora, tmp_path):
     base, extra, full = corpora
     idx = str(tmp_path / "stream_idx")
