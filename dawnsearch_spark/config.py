@@ -61,6 +61,15 @@ class EngineConfig:
     # it is small; above this size the build falls back to the join-based
     # salting path (postings.with_salt, shuffle join — slower, unbounded).
     max_broadcast_heavy_terms: int = 200_000
+    # Heavy-term detection for SALTING runs on a sampled pass (exact df is
+    # derived later from run metadata at zero extra cost): fraction of the
+    # corpus tokenized, floored so at least `heavy_sample_min_docs` docs
+    # are sampled (tiny corpora -> exact). Misclassification near the
+    # boundary is safe either way: sampled-heavy-but-light terms serve
+    # from salted rows, sampled-light-but-heavy runs are re-salted at
+    # merge (reclassify_runs).
+    heavy_sample_fraction: float = 0.01
+    heavy_sample_min_docs: int = 20_000
 
     # --- build ---
     # Stage-1 shuffle partitions for the posting-run build.

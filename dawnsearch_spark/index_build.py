@@ -32,7 +32,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dawnsearch_spark.config import EngineConfig
@@ -186,16 +186,11 @@ def build_index(
                         "content_sha", F.sha2(F.col(cfg.content_col), 256)
                     )
                 # identity-key dedup on the FIRST build too, not only on
-                # appends (reference dedups on every insert,
-                # search_provider.rs:253-263); deterministic keeper =
-                # smallest content_sha per key.
-                w = Window.partitionBy(*cfg.id_cols).orderBy("content_sha")
-                docs = (
-                    docs.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .drop("_rn")
+                # appends (deterministic keeper = smallest content_sha per
+                # key), fused into the docID range-sort — zero extra shuffle
+                docs = assign_doc_ids(
+                    docs, cfg.id_cols, dedup_order_col="content_sha"
                 )
-                docs = assign_doc_ids(docs, cfg.id_cols)
             if "content_sha" not in docs.columns:
                 docs = docs.withColumn(
                     "content_sha", F.sha2(F.col(cfg.content_col), 256)
@@ -215,74 +210,65 @@ def build_index(
             log(f"stage0 documents committed: {n} docs")
     documents = spark.read.parquet(paths.documents)
 
-    # ---- stage 1: corpus stats + term dictionary ----
-    # One tokenize pass total: the term dictionary is written from TF, and
-    # the BM25 globals derive from it (total_tokens = sum(cf); avgdl =
-    # total_tokens / n_docs with n_docs from the stage-0 manifest — exact,
-    # identical to avg(doclen) since both are integer-exact before the one
-    # float division). A separate doclen pass would re-tokenize the corpus.
-    if not is_committed(paths.root, "stats", fp):
-        n_docs_total = int(read_manifest(paths.root, "documents")["n_docs"])
-        eff_heavy = cfg.effective_heavy_df_threshold(n_docs_total)
-        dfs = document_frequencies_fast(documents, cfg.content_col).withColumn(
-            "heavy", F.col("df") > F.lit(eff_heavy)
-        ).withColumn("bucket", F.pmod(F.crc32(F.col("term")), F.lit(cfg.num_term_buckets)))
-        dfs.write.mode("overwrite").parquet(paths.terms)
-        tstats = spark.read.parquet(paths.terms).agg(
-            F.count(F.lit(1)).alias("n_terms"),
-            F.sum(F.col("heavy").cast("int")).alias("n_heavy"),
-            F.sum("df").alias("n_postings"),
-            F.sum("cf").alias("total_tokens"),
-        ).collect()[0]
-        total_tokens = int(tstats["total_tokens"] or 0)
-        write_manifest(
-            paths.root,
-            "stats",
-            {
-                "fingerprint": fp,
-                "n_docs": n_docs_total,
-                "avgdl": total_tokens / n_docs_total if n_docs_total else 0.0,
-                "total_tokens": total_tokens,
-                "n_terms": int(tstats["n_terms"]),
-                "n_heavy_terms": int(tstats["n_heavy"] or 0),
-                "n_postings": int(tstats["n_postings"] or 0),
-                "heavy_df_threshold": eff_heavy,
-            },
-        )
-        log(
-            f"stage1 stats committed: n_docs={n_docs_total} total_tokens={total_tokens} "
-            f"heavy={int(tstats['n_heavy'] or 0)}"
-        )
-    stats = load_stats(paths.root)
-    terms_dict = spark.read.parquet(paths.terms)
-    heavy_terms = terms_dict.filter(F.col("heavy"))
+    n_docs_total = int(read_manifest(paths.root, "documents")["n_docs"])
+    eff_heavy = cfg.effective_heavy_df_threshold(n_docs_total)
 
-    # ---- stage 2: posting runs per build group (resume granule) ----
-    # The group plan extends whatever committed groups already exist (so
-    # appended documents become new groups; SURVEY.md §1.4 resumable
-    # micro-batch semantics). Fresh build: contiguous range-aligned spans.
-    plan = _plan_groups(paths.root, stats.n_docs, n_groups, cfg.range_size, fp)
+    # ---- stage 1a: group plan + SAMPLED heavy-term detection ----
+    # The build makes exactly ONE full pass over document content (stage
+    # 2): salting decisions come from a cheap sampled tokenize here, and
+    # the exact term dictionary + BM25 globals are derived later from run
+    # METADATA (stage 1b) at no extra content cost. Sampling noise at the
+    # heavy boundary is safe in both directions: sampled-heavy-but-light
+    # terms simply serve from salted rows, sampled-light-but-heavy runs
+    # are re-salted at merge (reclassify_runs). The sample is seeded and
+    # the forward index is immutable between resumes, so resumed builds
+    # make identical salting decisions (segment byte-identity holds).
+    plan = _plan_groups(paths.root, n_docs_total, n_groups, cfg.range_size, fp)
     actual_groups = len(plan)
     pending = [(g, lo, hi) for g, lo, hi, committed in plan if not committed]
 
+    # Drop run dirs that are not part of this plan (e.g. left by a build
+    # under a different config fingerprint): stage 1b and stage 3 read the
+    # whole runs directory, so stale groups would poison the dictionary.
+    if os.path.isdir(paths.runs):
+        import shutil
+
+        plan_ids = {g for g, _, _, _ in plan}
+        for d in os.listdir(paths.runs):
+            if d.startswith("group=") and int(d.split("=", 1)[1]) not in plan_ids:
+                shutil.rmtree(os.path.join(paths.runs, d), ignore_errors=True)
+                log(f"stage1a: removed stale run dir {d}")
+
     heavy_bc = None
     use_join_salting = False
+    sampled_heavy = None
     if pending:
-        n_heavy = int((read_manifest(paths.root, "stats") or {}).get("n_heavy_terms", 0))
-        if n_heavy <= cfg.max_broadcast_heavy_terms:
+        frac = (
+            1.0
+            if n_docs_total <= cfg.heavy_sample_min_docs
+            else max(cfg.heavy_sample_fraction, cfg.heavy_sample_min_docs / n_docs_total)
+        )
+        sample = documents if frac >= 1.0 else documents.sample(fraction=frac, seed=42)
+        sampled_heavy = document_frequencies_fast(sample, cfg.content_col).filter(
+            F.col("df") > F.lit(max(1.0, eff_heavy * frac))
+        ).select("term")
+        probe = sampled_heavy.limit(cfg.max_broadcast_heavy_terms + 1).collect()
+        if len(probe) <= cfg.max_broadcast_heavy_terms:
             # tiny (stopword-like terms only): ship once per executor as a
             # Spark broadcast, NOT captured in each task closure
-            heavy_set = frozenset(
-                r["term"] for r in heavy_terms.select("term").collect()
-            )
+            heavy_set = frozenset(r["term"] for r in probe)
             heavy_bc = spark.sparkContext.broadcast(heavy_set)
+            log(
+                f"stage1a sampled heavy terms: {len(heavy_set)} "
+                f"(fraction={frac:.4f}, threshold={eff_heavy})"
+            )
         else:
             # the heavy set itself is too large to ship — fall back to the
             # fully-distributed join-based salting (with_salt shuffle join)
             use_join_salting = True
             log(
-                f"stage2: {n_heavy} heavy terms > max_broadcast_heavy_terms="
-                f"{cfg.max_broadcast_heavy_terms}; using join-based salting"
+                f"stage1a: > {cfg.max_broadcast_heavy_terms} sampled heavy terms; "
+                "using join-based salting"
             )
 
     def _build_group(g: int, lo: int, hi: int) -> None:
@@ -293,7 +279,7 @@ def build_index(
             from dawnsearch_spark.operators.tf import term_frequencies
 
             tf = term_frequencies(group_docs, cfg.content_col)
-            salted = with_salt(tf, heavy_terms, cfg.range_size, broadcast=False)
+            salted = with_salt(tf, sampled_heavy, cfg.range_size, broadcast=False)
             runs = build_posting_runs(salted, cfg.build_partitions)
         else:
             runs = build_posting_miniruns(
@@ -338,6 +324,60 @@ def build_index(
     else:
         for g, lo, hi in pending:
             _build_group(g, lo, hi)
+
+    # ---- stage 1b: exact stats + term dictionary from run METADATA ----
+    # df = sum of run lengths (doc sets are disjoint across batches/groups),
+    # cf = sum of per-run tf sums, total_tokens = sum(cf) — all exact, from
+    # the compact run rows; the corpus content is never re-tokenized. The
+    # BM25 globals follow (avgdl = total_tokens / n_docs; integer-exact
+    # before the one float division, identical to avg(doclen)).
+    if not is_committed(paths.root, "stats", fp):
+        if os.path.isdir(paths.runs):
+            runs_meta = spark.read.parquet(paths.runs).select("term", "n_docs", "tf_sum")
+        else:  # empty corpus: no runs were written
+            runs_meta = spark.createDataFrame(
+                [], "term string, n_docs long, tf_sum long"
+            )
+        dict_df = (
+            runs_meta.groupBy("term")
+            .agg(
+                F.sum("n_docs").cast("long").alias("df"),
+                F.sum("tf_sum").cast("long").alias("cf"),
+            )
+            .withColumn("heavy", F.col("df") > F.lit(eff_heavy))
+            .withColumn(
+                "bucket", F.pmod(F.crc32(F.col("term")), F.lit(cfg.num_term_buckets))
+            )
+        )
+        dict_df.write.mode("overwrite").parquet(paths.terms)
+        tstats = spark.read.parquet(paths.terms).agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("heavy").cast("int")).alias("n_heavy"),
+            F.sum("df").alias("n_postings"),
+            F.sum("cf").alias("total_tokens"),
+        ).collect()[0]
+        total_tokens = int(tstats["total_tokens"] or 0)
+        write_manifest(
+            paths.root,
+            "stats",
+            {
+                "fingerprint": fp,
+                "n_docs": n_docs_total,
+                "avgdl": total_tokens / n_docs_total if n_docs_total else 0.0,
+                "total_tokens": total_tokens,
+                "n_terms": int(tstats["n_terms"]),
+                "n_heavy_terms": int(tstats["n_heavy"] or 0),
+                "n_postings": int(tstats["n_postings"] or 0),
+                "heavy_df_threshold": eff_heavy,
+            },
+        )
+        log(
+            f"stage1b stats committed: n_docs={n_docs_total} total_tokens={total_tokens} "
+            f"heavy={int(tstats['n_heavy'] or 0)}"
+        )
+    stats = load_stats(paths.root)
+    terms_dict = spark.read.parquet(paths.terms)
+    heavy_terms = terms_dict.filter(F.col("heavy"))
 
     # ---- stage 3: merge runs -> block-max segments ----
     if not is_committed(paths.root, "segments", fp):

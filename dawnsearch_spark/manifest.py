@@ -92,6 +92,7 @@ def config_fingerprint(cfg) -> str:
     import hashlib
 
     relevant = {
+        "layout_version": 2,  # v2: run rows carry tf_sum (dictionary from metadata)
         "k1": cfg.k1,
         "b": cfg.b,
         "num_term_buckets": cfg.num_term_buckets,

@@ -103,9 +103,9 @@ def jaccard_pairs_exact(
     the default cap is ON because an uncapped shingle self-join is
     quadratic in the df of the most common shingle).
     """
-    base = df.select(
-        F.col(id_col).alias("_id"), word_shingles(col, n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
+    from pyspark.storagelevel import StorageLevel
+
+    base = shingle_sets(df, col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     ex = base.select("_id", F.explode("_sh").alias("_s"))
     ex = drop_oversized_buckets(ex, ["_s"], max_shingle_df)
     cand = (
@@ -139,10 +139,60 @@ def _minhash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]
 
 
 def shingle_sets(df: DataFrame, col: str, id_col: str, n: int) -> DataFrame:
-    """(_id, _sh): distinct sorted n-word shingles, empty docs dropped."""
-    return df.select(
-        F.col(id_col).alias("_id"), word_shingles(col, n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
+    """(_id, _sh): distinct n-word shingles per doc, empty docs dropped.
+
+    Computed in ONE Arrow ``mapInPandas`` pass (flatten tokens -> shifted
+    object-array joins -> C-level dedup), not with the JVM
+    ``transform``/``array_sort`` chain of :func:`word_shingles` — profiled
+    on this host, the JVM formulation spent 28s of a 34s MinHash run in
+    shingling alone (allocation-bound; BASELINE.md). Tokenization matches
+    ``word_shingles`` exactly: lower, trim, split on ASCII ``\\s+``.
+
+    The input is spread across the cluster first: a small parquet source
+    often arrives as ONE split, which would serialize shingling and every
+    downstream signature UDF onto a single core."""
+    import re
+    from collections.abc import Iterator
+
+    ws = re.compile(r"\s+", re.ASCII)  # JVM-regex \s is ASCII-only
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = pdf["_txt"].str.lower().str.strip(" ").str.split(ws)
+            ids = pdf["_id"].to_numpy(np.int64)
+            # split() on a leading-empty string yields [''] — drop empties
+            tok_arrays = [
+                np.asarray([t for t in (lst or []) if t], dtype=object)
+                for lst in toks
+            ]
+            lens = np.fromiter((len(a) for a in tok_arrays), np.int64, len(tok_arrays))
+            keep = lens >= n
+            if not keep.any():
+                continue
+            kid = ids[keep]
+            klen = lens[keep]
+            flat = np.concatenate([a for a, k in zip(tok_arrays, keep) if k])
+            seg = np.repeat(np.arange(len(kid)), klen)
+            m = len(flat) - (n - 1)
+            sh = flat[:m].copy()
+            for i in range(1, n):
+                sh = sh + " "
+                sh = sh + flat[i : m + i]
+            valid = seg[:m] == seg[n - 1 :]
+            pairs = pd.DataFrame({"s": seg[:m][valid], "sh": sh[valid]})
+            pairs = pairs.drop_duplicates()  # order stays seg-grouped
+            counts = np.bincount(pairs["s"].to_numpy(), minlength=len(kid))
+            arrs = np.split(pairs["sh"].to_numpy(), np.cumsum(counts)[:-1])
+            yield pd.DataFrame({"_id": kid, "_sh": arrs})
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(col).alias("_txt"))
+        .repartition(parallelism)
+        .mapInPandas(gen, "_id long, _sh array<string>")
+    )
 
 
 def minhash_band_rows(
@@ -168,6 +218,14 @@ def minhash_band_rows(
     fnv_prime = np.uint64(0x100000001B3)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Work buffers are allocated ONCE and reused across batches/chunks:
+        # fresh ~100 MB temporaries per chunk would bottleneck on
+        # first-touch page faults (this host's measured pathology —
+        # steady-state memory writes scale, concurrent fresh allocation
+        # does not; BASELINE.md), which made the naive outer-product
+        # formulation slower than the JVM path it replaced.
+        chunk = 8
+        buf: np.ndarray | None = None
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -177,12 +235,17 @@ def minhash_band_rows(
             h = pd.util.hash_array(flat, categorize=False).astype(np.uint64)
             starts = np.zeros(len(lens), np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
+            n_sh = len(h)
+            if buf is None or buf.shape[0] < n_sh:
+                buf = np.empty((n_sh, chunk), np.uint64)
             sig = np.empty((len(pdf), num_hashes), np.uint64)
             with np.errstate(over="ignore"):
-                for j0 in range(0, num_hashes, 8):  # chunk: bounds peak memory
-                    j1 = min(j0 + 8, num_hashes)
-                    hh = h[:, None] * a_par[None, j0:j1] + b_par[None, j0:j1]
-                    sig[:, j0:j1] = np.minimum.reduceat(hh, starts, axis=0)
+                for j0 in range(0, num_hashes, chunk):
+                    j1 = min(j0 + chunk, num_hashes)
+                    view = buf[:n_sh, : j1 - j0]
+                    np.multiply(h[:, None], a_par[None, j0:j1], out=view)
+                    view += b_par[None, j0:j1]
+                    sig[:, j0:j1] = np.minimum.reduceat(view, starts, axis=0)
                 bh = np.empty((len(pdf), bands), np.uint64)
                 for b in range(bands):
                     acc = np.full(len(pdf), fnv_off, np.uint64)
@@ -248,8 +311,18 @@ def minhash_lsh_pairs(
     signatures collide in >= 1 band become candidates; candidates are then
     verified with the exact shingle Jaccard (so output precision is exact;
     recall is the standard LSH S-curve at the chosen bands x rows)."""
-    shingled = shingle_sets(df, col, id_col, n)
-    rows = minhash_band_rows(shingled, bands, rows_per_band, seed)
+    from pyspark.storagelevel import StorageLevel
+
+    # Both intermediates feed multiple branches (band self-join = two
+    # scans + the bucket-cap aggregate; verification joins the shingle
+    # table twice): persist them or the shingling/signature UDFs re-run
+    # 3-5x. At cluster scale these are the tables a pipeline would
+    # materialize to storage (exactly what the oracle-checked contract
+    # entry does by exporting them to parquet).
+    shingled = shingle_sets(df, col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    rows = minhash_band_rows(shingled, bands, rows_per_band, seed).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = band_candidates(rows, max_band_bucket)
     return verified_jaccard_pairs(cand, shingled, threshold)
 
@@ -258,9 +331,14 @@ def minhash_lsh_pairs(
 
 def simhash64(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash): 64-bit SimHash over whitespace tokens, built from
-    native xxhash64 bit votes (explode -> 64 conditional sums -> repack)."""
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(col))), r"\s+")).alias("_t")
+    native xxhash64 bit votes (explode -> 64 conditional sums -> repack).
+    Input is repartitioned first so a single-split source does not
+    serialize the explode+hash scan onto one core."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.select(F.col(id_col), F.col(col).alias("_txt")).repartition(
+        parallelism
+    ).select(
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col("_txt"))), r"\s+")).alias("_t")
     ).withColumn("_h", F.xxhash64("_t"))
     votes = toks.groupBy(id_col).agg(
         *[

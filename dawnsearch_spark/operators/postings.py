@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 from dawnsearch_spark.functions.codec import varbyte_encode
 
 RUN_SCHEMA = (
-    "term string, salt long, n_docs long, doc_blob binary, tf_blob binary, dl_blob binary"
+    "term string, salt long, n_docs long, tf_sum long, "
+    "doc_blob binary, tf_blob binary, dl_blob binary"
 )
 
 RUN_COLS = ["term", "salt", "doc_id", "tf", "dl"]
@@ -106,11 +107,15 @@ def _pack_complete(pdf: pd.DataFrame) -> pd.DataFrame:
 
     od, ot, ol = group_offsets(nb_d), group_offsets(nb_t), group_offsets(nb_l)
     g = len(starts)
+    # per-run collection-frequency partial: lets the term dictionary be
+    # derived from run METADATA instead of a second corpus tokenize pass
+    tf_sums = np.add.reduceat(tfs, starts)
     return pd.DataFrame(
         {
             "term": term[starts],
             "salt": salt[starts],
             "n_docs": (bounds[1:] - starts).astype(np.int64),
+            "tf_sum": tf_sums.astype(np.int64),
             "doc_blob": [doc_all[od[i] : od[i + 1]] for i in range(g)],
             "tf_blob": [tf_all[ot[i] : ot[i + 1]] for i in range(g)],
             "dl_blob": [dl_all[ol[i] : ol[i + 1]] for i in range(g)],
@@ -186,6 +191,8 @@ def reclassify_runs(runs: DataFrame, heavy_terms: DataFrame, cfg) -> DataFrame:
                     rows["term"].append(r.term)
                     rows["salt"].append(int(ranges[s]))
                     rows["n_docs"].append(int(e - s))
+                    if "tf_sum" in rows:
+                        rows["tf_sum"].append(int(tfs[s:e].sum()))
                     rows["doc_blob"].append(d)
                     rows["tf_blob"].append(t)
                     rows["dl_blob"].append(l)
