@@ -466,6 +466,30 @@ def q_ivf_topk(spark, sf_dir):
     return cosine_topk(sel, qvec, k=10)
 
 
+def q_media_decode(spark, sf_dir):
+    """Real image decode (pure-NumPy 24-bit BMP codec): synthesize one BMP
+    per doc with a closed-form pixel pattern, decode it back, and emit
+    per-image statistics the DuckDB oracle recomputes from the pattern
+    formula — including a corner pixel that is row-order-sensitive, so a
+    decoder ignoring BMP's bottom-up layout fails the hash."""
+    from dawnsearch_spark.operators.multimodal import (
+        decode_image_stats,
+        synthesize_bmp_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    stats = decode_image_stats(synthesize_bmp_media(docs, width=32, height=16))
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "corner_g",
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary media column -> vectorized per-byte
     features, emitted as scalar columns (driver-hashable) with a DuckDB
@@ -594,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
+        "media_decode": q_media_decode,
     }
 
 
@@ -710,6 +735,19 @@ def oracle_sql() -> dict[str, str]:
         "wand_topk_1": _bm25_sql(BM25_QUERY_1.split()),
         "wand_topk_2": _bm25_sql(BM25_QUERY_2.split()),
         "media_features": _media_sql(),
+        # decoded-image statistics recomputed from the synthesis formula:
+        # R=(id+x)%256, G=(2id+y)%256, B=(3id+x+y)%256 on a 32x16 canvas
+        "media_decode": """
+            SELECT doc_id, 32 AS width, 16 AS height,
+                   round(list_aggregate(list_transform(range(0, 32),
+                         x -> (doc_id + x) % 256), 'avg'), 6) AS mean_r,
+                   round(list_aggregate(list_transform(range(0, 16),
+                         y -> (2 * doc_id + y) % 256), 'avg'), 6) AS mean_g,
+                   round(list_aggregate(list_transform(range(0, 512),
+                         j -> (3 * doc_id + (j % 32) + (j // 32)) % 256), 'avg'), 6) AS mean_b,
+                   ((2 * doc_id) % 256)::INT AS corner_g
+            FROM documents WHERE doc_id < 50
+        """,
         "minhash_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(3),
         "lsh_topk": _ann_export_sql(

@@ -48,16 +48,108 @@ def synthesize_media(docs: DataFrame, content_col: str = "content", id_col: str 
     )
 
 
-def decode_media(payload: bytes, media_type: str):
-    """STUB: real decoders (PIL/ffmpeg/librosa) are not in this container.
+# ---------------------------------------------------------------------------
+# Real decoders for uncompressed formats — pure NumPy, no codec libraries.
+# Compressed formats (png/jpeg/mp3/...) stay stubbed: this container ships
+# no codec libraries, and a hand-rolled inflate would be out of scope.
+# ---------------------------------------------------------------------------
 
-    The Spark-side contract (binary in, array out, Arrow batching) is
-    exercised via ``extract_features``' deterministic fake path.
-    """
-    raise NotImplementedError(
-        "media decode is stubbed in this environment: no image/audio codec "
-        f"libraries available (requested type: {media_type!r})"
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """RGB uint8 (H, W, 3) -> 24-bit uncompressed BMP (bottom-up rows,
+    4-byte row padding — the standard Windows BITMAPINFOHEADER layout)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    row_size = (w * 3 + 3) // 4 * 4
+    data = np.zeros((h, row_size), np.uint8)
+    data[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    body = data.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB, uncompressed
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
     )
+    return header + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> RGB uint8 (H, W, 3)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, np.uint8, count=row_size * h, offset=off).reshape(
+        h, row_size
+    )
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if bottom_up else img
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """RGB uint8 (H, W, 3) -> binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255) -> RGB uint8 (H, W, 3)."""
+    import re
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+255\s", payload[:64])
+    if not m:
+        raise ValueError("not a maxval-255 P6 PPM payload")
+    w, h = int(m.group(1)), int(m.group(2))
+    return np.frombuffer(payload, np.uint8, count=w * h * 3, offset=m.end()).reshape(
+        h, w, 3
+    )
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize via pure index arithmetic (no libraries)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[ys[:, None], xs[None, :]]
+
+
+_DECODERS = {
+    "image/bmp": decode_bmp,
+    "image/x-portable-pixmap": decode_ppm,
+    "image/ppm": decode_ppm,
+}
+
+
+def decode_media(payload: bytes, media_type: str) -> np.ndarray:
+    """Decode an image payload to an RGB uint8 array.
+
+    Real (pure-NumPy) decoders cover the uncompressed formats BMP (24-bit)
+    and PPM (P6). Compressed formats remain stubbed — this container has
+    no codec libraries (PIL/ffmpeg/librosa) and raises clearly instead of
+    guessing."""
+    dec = _DECODERS.get(media_type)
+    if dec is None:
+        raise NotImplementedError(
+            "media decode for compressed formats is stubbed in this "
+            f"environment: no codec libraries available (requested type: {media_type!r})"
+        )
+    return dec(payload)
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -88,6 +180,73 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
     return media.select("doc_id", "media").mapInPandas(
         gen, "doc_id long, features array<double>, n_bytes long"
+    )
+
+
+def synthesize_bmp_media(
+    docs: DataFrame, width: int = 32, height: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL image table: one 24-bit BMP per doc with pixel
+    pattern R=(id+x)%256, G=(2*id+y)%256, B=(3*id+x+y)%256 — closed-form
+    per (id, x, y), so a SQL oracle can recompute any decoded statistic
+    from first principles. Pixel synthesis is one broadcasted NumPy
+    expression per batch; only the final header+bytes join is per row."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs = np.arange(width, dtype=np.int64)[None, None, :]
+        ys = np.arange(height, dtype=np.int64)[None, :, None]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)[:, None, None]
+            img = np.empty((len(pdf), height, width, 3), np.uint8)
+            img[..., 0] = (ids + xs) % 256
+            img[..., 1] = (2 * ids + ys) % 256
+            img[..., 2] = (3 * ids + xs + ys) % 256
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(np.int64),
+                    "media": [encode_bmp(img[i]) for i in range(len(pdf))],
+                    "media_type": "image/bmp",
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        gen, "doc_id long, media binary, media_type string"
+    )
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """Decode each payload (real decoder, format from ``media_type``) and
+    emit per-image statistics: dimensions, float64 channel means, and the
+    top-left G value — the corner pixel is row-order-sensitive, so a
+    decoder that forgets BMP's bottom-up layout fails loudly here while
+    whole-image means would not notice."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"doc_id": [], "width": [], "height": [],
+                   "mean_r": [], "mean_g": [], "mean_b": [], "corner_g": []}
+            for did, payload, mtype in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_type"]
+            ):
+                img = decode_media(bytes(payload), mtype)
+                means = img.reshape(-1, 3).mean(axis=0)
+                out["doc_id"].append(int(did))
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+                out["corner_g"].append(int(img[0, 0, 1]))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media", "media_type").mapInPandas(
+        gen,
+        "doc_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double, corner_g int",
     )
 
 

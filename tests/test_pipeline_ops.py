@@ -132,6 +132,52 @@ def test_text_features(spark, docs):
     assert 0.0 <= feats[5]["quality"] <= 1.0
 
 
+def test_image_codecs_roundtrip():
+    """Pure-NumPy BMP/PPM codecs: exact pixel round-trip, including an
+    asymmetric image (catches BMP bottom-up row-order bugs) and a width
+    that forces nonzero BMP row padding."""
+    from dawnsearch_spark.operators.multimodal import (
+        decode_bmp,
+        decode_media,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(5, 7), (16, 32), (1, 1), (3, 4)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img), (h, w)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img), (h, w)
+    # asymmetric gradient: row order must survive the bottom-up layout
+    grad = np.zeros((4, 3, 3), np.uint8)
+    grad[:, :, 1] = np.arange(4, dtype=np.uint8)[:, None]
+    assert np.array_equal(decode_bmp(encode_bmp(grad)), grad)
+    assert decode_media(encode_bmp(grad), "image/bmp")[0, 0, 1] == 0
+    small = resize_nearest(grad, 2, 2)
+    assert small.shape == (2, 2, 3) and small[1, 0, 1] == 2
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG...", "image/png")
+
+
+def test_synthesized_bmp_decode_stats(spark):
+    from dawnsearch_spark.operators.multimodal import (
+        decode_image_stats,
+        synthesize_bmp_media,
+    )
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    stats = {r["doc_id"]: r for r in decode_image_stats(
+        synthesize_bmp_media(docs, width=32, height=16)
+    ).collect()}
+    assert len(stats) == 10
+    for did, r in stats.items():
+        assert (r["width"], r["height"]) == (32, 16)
+        assert r["corner_g"] == (2 * did) % 256
+        assert abs(r["mean_r"] - sum((did + x) % 256 for x in range(32)) / 32) < 1e-9
+
+
 def test_multimodal_plumbing(spark, small_corpus):
     media = synthesize_media(small_corpus.limit(50))
     rows = media.collect()
