@@ -84,13 +84,16 @@ def _has_success(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def _doc_partitions(cfg: EngineConfig, n_groups: int) -> int:
-    """Forward-index file count. This bounds the task parallelism of every
-    downstream tokenize stage (stage-1 term dictionary, stage-2 run build
-    read a doc_id range = a subset of these files), so it must scale with
-    the cluster, not with n_groups: 8 files on a 32-core cluster caps the
-    Arrow stages at ~4 concurrent tasks per group."""
-    return max(n_groups, cfg.build_partitions)
+def _doc_partitions(cfg: EngineConfig, n_groups: int, n_docs: int) -> int:
+    """Forward-index file count. It bounds the task parallelism of every
+    downstream tokenize stage (stage-2 group scans read a doc_id range = a
+    subset of these files), so it scales up to ``build_partitions`` for a
+    large corpus — but is also capped by the data (≈2.5k docs per file):
+    on this host each write task costs whole seconds of fixed overhead, so
+    32 near-empty files for a 20k-doc corpus measurably slow the build
+    without adding any usable parallelism."""
+    by_data = max(1, n_docs // 2500)
+    return max(n_groups, min(cfg.build_partitions, by_data))
 
 
 def _plan_groups(
@@ -195,13 +198,17 @@ def build_index(
                 docs = docs.withColumn(
                     "content_sha", F.sha2(F.col(cfg.content_col), 256)
                 )
+            # count BEFORE the write (assign_doc_ids persists its shuffled
+            # intermediate, so this materializes it once and the write
+            # reuses it) — the count both sizes the file layout and
+            # replaces a post-write recount job
+            n = docs.count()
             (
-                docs.repartitionByRange(_doc_partitions(cfg, n_groups), "doc_id")
+                docs.repartitionByRange(_doc_partitions(cfg, n_groups, n), "doc_id")
                 .sortWithinPartitions("doc_id")
                 .write.mode("overwrite")
                 .parquet(paths.documents)
             )
-            n = spark.read.parquet(paths.documents).count()
             write_manifest(
                 paths.root,
                 "documents",

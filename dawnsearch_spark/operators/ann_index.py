@@ -1,0 +1,105 @@
+"""Materialized ANN index: bucket/cell-partitioned embedding tables.
+
+Round-1 review finding: the LSH/IVF query paths re-assigned every vector
+per query (two full passes per search) and left "the bucket becomes a
+write-time partition column" as a docstring. This module is that code:
+
+* ``build_ann_index``  — one assignment pass (NumPy matmul per Arrow
+  batch) writes the embedding table PARTITIONED BY its coarse location
+  (``bucket=<lsh bucket>`` or ``cell=<ivf cell>``), with the plane/
+  centroid parameters recorded in a manifest so queries reconstruct them
+  deterministically;
+* ``ann_query``        — computes the query's bucket/probe cells
+  driver-side and scans ONLY the matching partition directories (Catalyst
+  partition pruning on the directory column; ``.explain`` shows
+  ``PartitionFilters`` with no full scan), then exact-cosine ranks the
+  pruned candidates.
+
+Reference analogs: the bucketed vector index with multi-assignment
+(/root/reference/examples_old/search_bucket.rs:15-90) and the serving
+HNSW's load/save lifecycle (/root/reference/src/search/search_provider.rs:
+111-120). At 100-TB scale the partition column is what turns every query
+from O(corpus) into O(corpus / n_buckets) IO.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dawnsearch_spark.operators.similarity import (
+    cosine_topk,
+    ivf_assign,
+    ivf_probe_cells,
+    lsh_assign,
+    lsh_query_bucket,
+)
+
+_MANIFEST = "_ann_manifest.json"
+
+
+def build_ann_index(
+    emb: DataFrame,
+    out_dir: str,
+    kind: str = "lsh",
+    n_planes: int = 8,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """One pass: assign every vector to its bucket (lsh) / cell (ivf) and
+    write the table partitioned by that column. Returns the manifest."""
+    if kind == "lsh":
+        assigned = lsh_assign(emb, n_planes, seed, id_col, vec_col)
+        part_col = "bucket"
+    elif kind == "ivf":
+        assigned = ivf_assign(emb, n_cells, seed, id_col, vec_col).withColumnRenamed(
+            "cell", "bucket"
+        )
+        part_col = "bucket"
+    else:
+        raise ValueError(f"unknown ann index kind {kind!r}")
+    (
+        emb.join(assigned, id_col)
+        .repartition(part_col)
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+    manifest = {
+        "kind": kind,
+        "n_planes": n_planes,
+        "n_cells": n_cells,
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "part_col": part_col,
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def ann_query(
+    spark: SparkSession,
+    index_dir: str,
+    qvec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Partition-pruned cosine top-k against a built ANN index: the scan
+    touches only the query's bucket directory (lsh) or its ``nprobe``
+    nearest cell directories (ivf)."""
+    with open(os.path.join(index_dir, _MANIFEST)) as f:
+        m = json.load(f)
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    if m["kind"] == "lsh":
+        targets = [lsh_query_bucket(qvec, m["n_planes"], m["seed"])]
+    else:
+        targets = ivf_probe_cells(qvec, m["n_cells"], nprobe, m["seed"])
+    pruned = vectors.filter(F.col(m["part_col"]).isin(targets))
+    return cosine_topk(pruned, qvec, k, m["id_col"], m["vec_col"])
