@@ -73,6 +73,27 @@ def test_wand_rank_identical_to_oracle(spark, index_dir, oracle_inputs, cfg, qid
         assert math.isclose(gs, ws, rel_tol=1e-9), f"score differs for doc {gd} in {query!r}"
 
 
+@pytest.mark.parametrize("qid", sorted(REFERENCE_QUERIES)[:8])
+def test_distributed_branch_rank_identical(spark, index_dir, oracle_inputs, cfg, qid):
+    """Force the DISTRIBUTED executor branch (applyInPandas range tasks —
+    max_driver_heavy_rows=0 disables the driver fast path) and demand the
+    same rank identity: the θ-pruned fan-out must be semantics-free."""
+    from dawnsearch_spark.operators.wand import search_index
+
+    tf, stats, dfs = oracle_inputs
+    query = REFERENCE_QUERIES[qid]
+    got = search_index(
+        spark, index_dir, query, cfg, max_driver_heavy_rows=0, task_groups=4
+    )
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_exact_topk(tf, dfs, stats, query, cfg).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want], f"docIDs differ for {query!r}"
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=1e-9), f"score differs for doc {gd}"
+
+
 def test_wand_weighted_bag_and_more_like(spark, index_dir, cfg):
     engine = Engine(spark, index_dir, cfg)
     res = engine.more_like(5)
