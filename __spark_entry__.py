@@ -305,6 +305,29 @@ def q_text_features(spark, sf_dir):
     )
 
 
+def q_rolling_fingerprint(spark, sf_dir):
+    """Rabin-Karp rolling-hash document fingerprint (native fold, no UDF)."""
+    from dawnsearch_spark.operators.text_analysis import rolling_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint("text", 256).alias("rfp"))
+
+
+def q_ngram_lang(spark, sf_dir):
+    """N-gram (character-trigram profile) language-ID heuristic."""
+    from dawnsearch_spark.operators.text_analysis import (
+        en_trigram_chars,
+        ngram_lang_guess,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        en_trigram_chars("text").alias("en_tri_chars"),
+        ngram_lang_guess("text").alias("tri_lang"),
+    )
+
+
 def q_jaccard_pairs(spark, sf_dir):
     """N-gram Jaccard near-dup pairs (exact, shared-shingle candidates)."""
     docs = _t(spark, sf_dir, "documents")
@@ -603,6 +626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "fingerprints": q_fingerprints,
         "text_features": q_text_features,
+        "rolling_fingerprint": q_rolling_fingerprint,
+        "ngram_lang": q_ngram_lang,
         "jaccard_pairs": q_jaccard_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -620,6 +645,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_decode": q_media_decode,
     }
+
+
+def _ngram_sql() -> str:
+    from dawnsearch_spark.operators.text_analysis import EN_TRIGRAMS
+
+    terms = " + ".join(
+        f"(length(s) - length(replace(s, '{g}', '')))" for g in EN_TRIGRAMS
+    )
+    return f"""
+        WITH b AS (SELECT doc_id, lower(text) AS s FROM documents)
+        SELECT doc_id, ({terms})::BIGINT AS en_tri_chars,
+               CASE WHEN ({terms}) >= 15 THEN 'en' ELSE 'other' END AS tri_lang
+        FROM b
+    """
 
 
 def _minhash_sql() -> str:
@@ -748,6 +787,15 @@ def oracle_sql() -> dict[str, str]:
                    ((2 * doc_id) % 256)::INT AS corner_g
             FROM documents WHERE doc_id < 50
         """,
+        "rolling_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(list_prepend(0::BIGINT,
+                     list_transform(range(1, length(substring(text, 1, 256)) + 1),
+                       i -> unicode(substring(text, i, 1))::BIGINT)),
+                     (acc, c) -> (acc * 31 + c) % 2147483647)::BIGINT AS rfp
+            FROM documents
+        """,
+        "ngram_lang": _ngram_sql(),
         "minhash_pairs": _minhash_sql(),
         "simhash_pairs": _simhash_sql(3),
         "lsh_topk": _ann_export_sql(

@@ -75,6 +75,54 @@ def normalized_fingerprint(col: Column | str) -> Column:
     return F.md5(norm)
 
 
+#: Rabin-Karp rolling-hash parameters: base 31, Mersenne-ish prime modulus
+#: small enough that acc*31 + codepoint stays well inside int64 (no
+#: overflow on either engine).
+ROLLING_B = 31
+ROLLING_M = 2_147_483_647
+
+#: character trigrams over-represented in English prose — the n-gram
+#: language-ID profile (a tiny fixed profile keeps the op SQL-expressible
+#: and deterministic; a production profile would be learned per language).
+EN_TRIGRAMS = (" th", "the", "ing", "ion", "and", " of", "ed ", " to")
+
+
+def rolling_fingerprint(col: Column | str, prefix_len: int = 256) -> Column:
+    """Rabin-Karp polynomial rolling hash over the codepoints of the text
+    prefix: fold acc -> (acc * B + codepoint) mod M. Entirely native
+    Column ops (split-to-chars + aggregate fold — JVM codegen, no UDF);
+    the DuckDB twin folds ``unicode(substring(...))`` identically."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.substring(c, 1, prefix_len)
+    chars = F.filter(F.split(s, ""), lambda ch: ch != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * ROLLING_B + F.ascii(ch)) % ROLLING_M,
+    )
+
+
+def en_trigram_chars(col: Column | str) -> Column:
+    """Total characters covered by English-profile trigram occurrences in
+    the lowercased text (occurrence count x 3, exact in both engines via
+    length-delta after replace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lower(c)
+    total = F.lit(0).cast("long")
+    for g in EN_TRIGRAMS:
+        total = total + (F.length(s) - F.length(F.replace(s, F.lit(g)))).cast("long")
+    return total
+
+
+def ngram_lang_guess(col: Column | str, min_chars: int = 15) -> Column:
+    """'en' when the English trigram profile covers at least ``min_chars``
+    characters — the brief's n-gram language-ID heuristic (complements the
+    stopword-ratio gate in :func:`lang_guess`)."""
+    return F.when(en_trigram_chars(col) >= min_chars, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
 def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     """All features at once (single scan, codegen'd)."""
     return (
