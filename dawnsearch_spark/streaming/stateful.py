@@ -1,0 +1,95 @@
+"""Stateful streaming operators: cross-batch dedup and watermarked windows.
+
+Reference analog: the reference's continuous ingestion dedups every insert
+against the durable row store (/root/reference/src/search/search_provider.rs:
+253-263) and its peers drop late results after a deadline
+(/root/reference/src/net/udp_service.rs:300-341). In Structured Streaming
+those semantics become:
+
+* ``streaming_dedup``        — keep the FIRST document per identity key
+  across ALL micro-batches, state kept by the engine
+  (``applyInPandasWithState`` keyed by fingerprint; the per-key state is a
+  single "seen" flag + first-seen timestamp, so state size is O(distinct
+  keys) and can be TTL'd via the GroupStateTimeout);
+* ``windowed_event_counts``  — tumbling event-time windows with a
+  watermark: late events beyond the allowed lateness are dropped and the
+  window state is reclaimed (the deadline-gather analog, but with exact
+  semantics instead of best-effort).
+
+Both are pure building blocks: callers attach sources/sinks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: state schema: have we emitted a row for this key yet
+_STATE_SCHEMA = "seen boolean"
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Exactly-first delivery per key across micro-batches.
+
+    Unlike ``dropDuplicates`` inside ``foreachBatch`` (per-batch only) or
+    ``dropDuplicates`` on a stream (requires the key in the watermark
+    column set), this keeps an explicit boolean per key in the state
+    store, so the SECOND and later arrivals of a key are dropped even when
+    they land many batches later. Output schema = input schema.
+    """
+    out_schema = stream.schema
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return  # key already emitted in an earlier batch: drop all
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]]
+        if first is not None:
+            state.update((True,))
+            yield first
+
+    return stream.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data handling: events
+    older than the watermark are dropped and closed windows' state is
+    reclaimed by the engine (scales to unbounded streams — state is
+    O(open windows x groups), never O(events))."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "n",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+    )
