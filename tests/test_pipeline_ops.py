@@ -70,6 +70,44 @@ def test_minhash_lsh_finds_planted_dups(spark, docs):
     assert (0, 3) in pairs
 
 
+def test_minhash_band_rows_batch_invariant(spark, docs):
+    """A doc's signature must not depend on which Arrow batch / partition
+    it lands in (reused work buffers or segment bookkeeping bugs would
+    surface exactly here)."""
+    from dawnsearch_spark.operators.dedup import minhash_band_rows, shingle_sets
+
+    sh = shingle_sets(docs, "text", "doc_id", 3)
+    one = {
+        (r["_id"], r["band"], r["bhash"])
+        for r in minhash_band_rows(sh.repartition(1)).collect()
+    }
+    many = {
+        (r["_id"], r["band"], r["bhash"])
+        for r in minhash_band_rows(sh.repartition(8)).collect()
+    }
+    assert one and one == many
+
+
+def test_rolling_fingerprint_matches_python_reference(spark, docs):
+    """The native Column fold equals a pure-Python Rabin-Karp over the
+    same prefix (codepoint-for-codepoint)."""
+    from dawnsearch_spark.operators.text_analysis import (
+        ROLLING_B,
+        ROLLING_M,
+        rolling_fingerprint,
+    )
+
+    got = {
+        r["doc_id"]: r["rfp"]
+        for r in docs.select("doc_id", rolling_fingerprint("text", 64).alias("rfp")).collect()
+    }
+    for row in docs.collect():
+        acc = 0
+        for ch in row["text"][:64]:
+            acc = (acc * ROLLING_B + ord(ch)) % ROLLING_M
+        assert got[row["doc_id"]] == acc, row["doc_id"]
+
+
 def test_simhash(spark, docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs.filter("text != ''")).collect()}
     assert sh[0] == sh[1]  # identical text -> identical simhash
