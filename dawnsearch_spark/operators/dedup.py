@@ -330,28 +330,66 @@ def minhash_lsh_pairs(
 # ---------- SimHash ----------
 
 def simhash64(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash): 64-bit SimHash over whitespace tokens, built from
-    native xxhash64 bit votes (explode -> 64 conditional sums -> repack).
-    Input is repartitioned first so a single-split source does not
-    serialize the explode+hash scan onto one core."""
+    """(id, simhash): 64-bit SimHash over whitespace tokens, ONE Arrow
+    pass per batch — C-level token hashing + vectorized per-bit vote sums
+    (chunked segmented reduceat over a REUSED buffer). Replaces the
+    explode -> 64 JVM conditional-sum aggregates, which were both an
+    allocation-heavy shuffle of every token row and this host's measured
+    non-scaling path (BASELINE.md). Bit b of the signature is set when
+    more than half the tokens have bit b set in their hash (the classic
+    +/-1 vote majority). Empty docs are dropped; duplicate tokens vote
+    once per occurrence, as before."""
+    import re
+    from collections.abc import Iterator
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk = 8
+        buf: np.ndarray | None = None
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = pdf["_txt"].str.lower().str.strip(" ").str.split(ws).to_numpy()
+            lens = np.fromiter(
+                (len(x) if isinstance(x, list) else 0 for x in toks),
+                np.int64,
+                len(toks),
+            )
+            keep = lens > 0
+            if not keep.any():
+                continue
+            ids = pdf["_id"].to_numpy(np.int64)[keep]
+            klen = lens[keep]
+            flat = np.asarray(
+                [t for x in toks[keep] for t in x], dtype=object
+            )  # flatten lists; tokens themselves untouched
+            h = pd.util.hash_array(flat, categorize=False).astype(np.uint64)
+            n = len(h)
+            starts = np.zeros(len(klen), np.int64)
+            np.cumsum(klen[:-1], out=starts[1:])
+            if buf is None or buf.shape[0] < n:
+                buf = np.empty((n, chunk), np.uint64)
+            sig = np.zeros(len(ids), np.uint64)
+            for j0 in range(0, 64, chunk):
+                view = buf[:n]
+                np.right_shift(h[:, None], shifts[None, j0 : j0 + chunk], out=view)
+                view &= np.uint64(1)
+                ones = np.add.reduceat(view, starts, axis=0)  # per-doc set-bit counts
+                set_bits = (2 * ones) > klen[:, None]  # majority vote
+                sig |= (set_bits.astype(np.uint64) << shifts[None, j0 : j0 + chunk]).sum(
+                    axis=1, dtype=np.uint64
+                )
+            yield pd.DataFrame({"_id": ids, "simhash": sig.view(np.int64)})
+
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.select(F.col(id_col), F.col(col).alias("_txt")).repartition(
-        parallelism
-    ).select(
-        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col("_txt"))), r"\s+")).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
-    votes = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(64)
-        ]
+    out = (
+        df.select(F.col(id_col).alias("_id"), F.col(col).alias("_txt"))
+        .repartition(parallelism)
+        .mapInPandas(gen, "_id long, simhash long")
     )
-    sim = F.lit(0).cast("long")
-    for i in range(64):
-        sim = sim + F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
-    return votes.select(F.col(id_col), sim.alias("simhash"))
+    return out.withColumnRenamed("_id", id_col)
 
 
 def simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
@@ -430,10 +468,15 @@ def simhash_near_pairs(
     (max_hamming + 1)-band blocking — a pair within the distance budget
     always collides in >= 1 band (pigeonhole over the band spans); band
     buckets larger than ``max_band_bucket`` (e.g. boilerplate/empty-doc
-    collisions) are excluded from candidate generation."""
+    collisions) are excluded from candidate generation. The signature
+    table feeds three branches (cap aggregate + both self-join sides), so
+    it is persisted — otherwise the Arrow signature pass re-runs per
+    branch."""
+    from pyspark.storagelevel import StorageLevel
+
+    sim = simhash64(df, col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     return simhash_pairs_from(
-        simhash64(df, col, id_col), max_hamming, id_col=id_col,
-        max_band_bucket=max_band_bucket,
+        sim, max_hamming, id_col=id_col, max_band_bucket=max_band_bucket
     )
 
 
