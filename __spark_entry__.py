@@ -402,8 +402,13 @@ def q_dedup_kept(spark, sf_dir):
 # exported table. The oracle therefore fully checks the candidate-join,
 # skew-cap and verification semantics. ----
 
+# Per-user export root (ADVICE r2: a fixed shared path lets concurrent
+# runs by different users clobber each other's exported signature tables).
+# Deliberately NOT per-process: oracle_sql() must resolve the same path in
+# whatever process later runs the DuckDB twin of this run's queries().
 _EXPORT_ROOT = os.path.join(
-    os.environ.get("TMPDIR", "/tmp"), "dawnsearch_oracle_export"
+    os.environ.get("TMPDIR", "/tmp"),
+    f"dawnsearch_oracle_export_u{os.getuid() if hasattr(os, 'getuid') else 0}",
 )
 _BAND_BUCKET_CAP = 500
 
@@ -467,19 +472,23 @@ def q_lsh_topk(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    """ANN scale path: IVF coarse-quantizer probe search; the cell
-    assignment + probe set are exported for the DuckDB twin."""
+    """ANN scale path: IVF coarse-quantizer probe search over k-means-
+    TRAINED centroids (data-aware cells, VERDICT r2 item 5); the cell
+    assignment + probe set are exported for the DuckDB twin, which
+    replays the probe-pruned candidate selection + exact cosine."""
     from dawnsearch_spark.operators.similarity import (
         cosine_topk,
         ivf_assign,
         ivf_probe_cells,
+        train_ivf_centroids,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     data = emb.filter(F.col("vec_id") != 0)
-    assigned = _export(ivf_assign(data, n_cells=16), "ivf_assign")
-    probe = ivf_probe_cells(qvec, n_cells=16, nprobe=4)
+    cents = train_ivf_centroids(data, n_cells=16)
+    assigned = _export(ivf_assign(data, n_cells=16, centroids=cents), "ivf_assign")
+    probe = ivf_probe_cells(qvec, n_cells=16, nprobe=4, centroids=cents)
     _export(spark.createDataFrame([(c,) for c in probe], "cell int"), "ivf_probe")
     sel = data.join(
         F.broadcast(assigned.filter(F.col("cell").isin(probe)).select("vec_id")),
@@ -556,16 +565,37 @@ def _wand_cfg() -> "EngineConfig":
     return _WAND_CFG
 
 
+_IDX_TAGS: dict[str, str] = {}
+
+
 def _wand_index_root(spark: SparkSession, sf_dir: str) -> str:
     """Build (or reuse via manifests — build_index is resumable and
-    idempotent) a real segment index over this sf_dir's documents table."""
+    idempotent) a real segment index over this sf_dir's documents table.
+
+    The cache key fingerprints the DATA (row count + max content sha), not
+    just the path (ADVICE r2: regenerated testdata at the same path must
+    not serve a stale index against a fresh oracle). One cheap aggregate
+    per (process, sf_dir)."""
     import hashlib
     import tempfile
 
     from dawnsearch_spark.index_build import build_index
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"dawnsearch_driver_idx_{tag}")
+    if sf_dir not in _IDX_TAGS:
+        agg = (
+            _t(spark, sf_dir, "documents")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.sha2(F.col("text"), 256)).alias("s"),
+            )
+            .collect()[0]
+        )
+        _IDX_TAGS[sf_dir] = hashlib.md5(
+            f"{sf_dir}|{agg['n']}|{agg['s']}".encode()
+        ).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), f"dawnsearch_driver_idx_{_IDX_TAGS[sf_dir]}"
+    )
     build_index(spark, _docs(spark, sf_dir), root, _wand_cfg(), n_groups=2)
     return root
 
@@ -594,6 +624,29 @@ def q_wand_topk_2(spark, sf_dir):
     return _wand_topk(spark, sf_dir, BM25_QUERY_2)
 
 
+def q_wand_topk_dist(spark, sf_dir):
+    """T4 under the driver gate with the DISTRIBUTED branch forced:
+    max_driver_heavy_rows=0 disables the driver fast path and a tiny
+    max_driver_postings budget overflows the light lists, so heavy range
+    fan-out AND executor-side range-splitting of light lists
+    (applyInPandas + mapInPandas) both run — against the same exact-BM25
+    oracle. Round 2's gap: the sf0.1/sf0.01 indexes always fit the driver
+    fast path, so the fan-out code was pytest-verified only."""
+    from dataclasses import replace as _replace
+
+    from dawnsearch_spark.operators.wand import search_index
+
+    root = _wand_index_root(spark, sf_dir)
+    cfg = _replace(_wand_cfg(), max_driver_postings=64)
+    hits = search_index(
+        spark, root, BM25_QUERY_2, cfg, max_driver_heavy_rows=0, task_groups=8
+    )
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits] or [], "doc_id long, score double"
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over sf0.001 documents, hydrated (E1)."""
     sf_dir = "/root/testdata/sf0.001"
@@ -615,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_2": q_bm25_topk_2,
         "wand_topk_1": q_wand_topk_1,
         "wand_topk_2": q_wand_topk_2,
+        "wand_topk_dist": q_wand_topk_dist,
         "filter_project": q_filter_project,
         "length_gate": q_length_gate,
         "hydration_join": q_hydration_join,
@@ -668,11 +722,16 @@ def _minhash_sql() -> str:
     sh = f"{_EXPORT_ROOT}/minhash_shingles/*.parquet"
     return f"""
         WITH br AS (SELECT * FROM read_parquet('{br}')),
-        ok AS (SELECT band, bhash FROM br GROUP BY band, bhash
-               HAVING count(*) <= {_BAND_BUCKET_CAP}),
-        r AS (SELECT br.* FROM br JOIN ok USING (band, bhash)),
-        cand AS (SELECT DISTINCT a._id AS id_a, b._id AS id_b
-                 FROM r a JOIN r b USING (band, bhash) WHERE a._id < b._id),
+        cnt AS (SELECT band, bhash, count(*) AS c FROM br GROUP BY band, bhash),
+        r AS (SELECT br.* FROM br JOIN cnt USING (band, bhash) WHERE c <= {_BAND_BUCKET_CAP}),
+        big AS (SELECT br.*, row_number() OVER (PARTITION BY band, bhash ORDER BY _id) AS rn
+                FROM br JOIN cnt USING (band, bhash) WHERE c > {_BAND_BUCKET_CAP}),
+        cand AS (SELECT DISTINCT id_a, id_b FROM (
+                   SELECT a._id AS id_a, b._id AS id_b
+                   FROM r a JOIN r b USING (band, bhash) WHERE a._id < b._id
+                   UNION ALL
+                   SELECT a._id, b._id FROM big a JOIN big b
+                     ON a.band = b.band AND a.bhash = b.bhash AND b.rn = a.rn + 1)),
         sh AS (SELECT * FROM read_parquet('{sh}')),
         sc AS (SELECT id_a, id_b,
                  round(len(list_intersect(sa._sh, sb._sh))::DOUBLE
@@ -698,12 +757,18 @@ def _simhash_sql(max_hamming: int = 3) -> str:
     return f"""
         WITH s AS (SELECT * FROM read_parquet('{_EXPORT_ROOT}/simhash/*.parquet')),
         b AS ({unions}),
-        ok AS (SELECT band, bkey FROM b GROUP BY band, bkey
-               HAVING count(*) <= {_BAND_BUCKET_CAP}),
-        r AS (SELECT b.* FROM b JOIN ok USING (band, bkey)),
-        cand AS (SELECT DISTINCT a._id AS id_a, bb._id AS id_b,
-                        a.simhash AS ha, bb.simhash AS hb
-                 FROM r a JOIN r bb USING (band, bkey) WHERE a._id < bb._id)
+        cnt AS (SELECT band, bkey, count(*) AS c FROM b GROUP BY band, bkey),
+        r AS (SELECT b.* FROM b JOIN cnt USING (band, bkey) WHERE c <= {_BAND_BUCKET_CAP}),
+        big AS (SELECT b.*, row_number() OVER (PARTITION BY band, bkey ORDER BY _id) AS rn
+                FROM b JOIN cnt USING (band, bkey) WHERE c > {_BAND_BUCKET_CAP}),
+        cand AS (SELECT DISTINCT id_a, id_b, ha, hb FROM (
+                   SELECT a._id AS id_a, bb._id AS id_b,
+                          a.simhash AS ha, bb.simhash AS hb
+                   FROM r a JOIN r bb USING (band, bkey) WHERE a._id < bb._id
+                   UNION ALL
+                   SELECT a._id, bb._id, a.simhash, bb.simhash
+                   FROM big a JOIN big bb
+                     ON a.band = bb.band AND a.bkey = bb.bkey AND bb.rn = a.rn + 1))
         SELECT id_a, id_b, bit_count(xor(ha, hb))::INT AS hamming
         FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
     """
@@ -773,6 +838,7 @@ def oracle_sql() -> dict[str, str]:
         # demands (docIDs AND scores).
         "wand_topk_1": _bm25_sql(BM25_QUERY_1.split()),
         "wand_topk_2": _bm25_sql(BM25_QUERY_2.split()),
+        "wand_topk_dist": _bm25_sql(BM25_QUERY_2.split()),
         "media_features": _media_sql(),
         # decoded-image statistics recomputed from the synthesis formula:
         # R=(id+x)%256, G=(2id+y)%256, B=(3id+x+y)%256 on a 32x16 canvas

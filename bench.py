@@ -109,6 +109,40 @@ def main() -> None:
         for qid in qids:
             engine.search(REFERENCE_QUERIES[qid])
         timings["wand_topk_avg"] = round((time.time() - t0) / len(qids), 3)
+        extras["wand_counters"] = {
+            k: engine.last_search_counters.get(k)
+            for k in (
+                "path",
+                "ranges_pruned",
+                "blocks_decoded",
+                "postings_scored",
+                "driver_postings_decoded",
+            )
+        }
+
+        # distributed branch (round-2 gap: the sf0.1 index always fits the
+        # driver fast path, so the fan-out latency was never measured):
+        # max_driver_heavy_rows=0 forces the applyInPandas range tasks and
+        # a tight postings budget forces executor-side light-list splits
+        from dataclasses import replace as _replace
+
+        dist_engine = Engine(
+            spark, idx_dir, _replace(cfg, max_driver_postings=1000)
+        )
+        t0 = time.time()
+        for qid in qids[:5]:
+            dist_engine.search(REFERENCE_QUERIES[qid], max_driver_heavy_rows=0)
+        timings["wand_topk_dist_avg"] = round((time.time() - t0) / 5, 3)
+        extras["wand_dist_counters"] = {
+            k: dist_engine.last_search_counters.get(k)
+            for k in (
+                "path",
+                "light_terms_overflow",
+                "ranges_pruned",
+                "blocks_decoded",
+                "driver_postings_decoded",
+            )
+        }
 
         timed("hydrated_search", lambda: engine.search_df("parse http request").collect())
     finally:
@@ -138,19 +172,31 @@ def main() -> None:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).collect())
 
     # scale-path dedup ops (LSH instead of exact all-pairs at bench scale)
-    from dawnsearch_spark.operators.dedup import minhash_lsh_pairs, simhash_near_pairs
+    from dawnsearch_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_handles,
+        simhash_near_pairs,
+    )
 
     docs_tbl = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     # threshold 0.8 with 8x8 banding: collision prob for sub-threshold
     # pairs stays tiny (J=0.5 -> ~0.4% per band), so candidate volume is
     # bounded on the Zipf-shared-vocab corpus
+    handles: list = []
     timed(
         "minhash_lsh_pairs",
         lambda: minhash_lsh_pairs(
-            docs_tbl, threshold=0.8, bands=8, rows_per_band=8
+            docs_tbl, threshold=0.8, bands=8, rows_per_band=8, persist_handles=handles
         ).count(),
     )
-    timed("simhash_near_pairs", lambda: simhash_near_pairs(docs_tbl, max_hamming=3).count())
+    release_handles(handles)
+    timed(
+        "simhash_near_pairs",
+        lambda: simhash_near_pairs(
+            docs_tbl, max_hamming=3, persist_handles=handles
+        ).count(),
+    )
+    release_handles(handles)
 
     total = round(sum(timings.values()), 3)
     print(

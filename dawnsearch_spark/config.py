@@ -57,6 +57,14 @@ class EngineConfig:
     # to a few MB of varbyte).
     heavy_df_max: int = 1_000_000
     num_salts: int = 16
+    # Query-time budget on postings decoded ON THE DRIVER (light lists +
+    # the fast-path heavy rows + the θ-seed range). Light lists are taken
+    # smallest-first until the budget is hit; the rest are range-split on
+    # the executors and scored in the distributed range tasks, so a
+    # 10-term query of mid-frequency terms (df just under heavy_df_max)
+    # can never accumulate hundreds of MB of driver NumPy. 2M postings
+    # varbyte-decode to ~50 MB of int64 arrays.
+    max_driver_postings: int = 2_000_000
     # The heavy-term set ships to stage-2 tasks as a Spark broadcast while
     # it is small; above this size the build falls back to the join-based
     # salting path (postings.with_salt, shuffle join — slower, unbounded).

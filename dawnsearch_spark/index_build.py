@@ -249,13 +249,24 @@ def build_index(
     heavy_bc = None
     use_join_salting = False
     sampled_heavy = None
-    if pending:
-        frac = (
-            1.0
-            if n_docs_total <= cfg.heavy_sample_min_docs
-            else max(cfg.heavy_sample_fraction, cfg.heavy_sample_min_docs / n_docs_total)
+    if pending and n_docs_total <= cfg.heavy_sample_min_docs:
+        # Small corpus: the "sampled" detection would run at frac = 1.0,
+        # i.e. a SECOND full tokenize pass over the whole content (this was
+        # the round-2 bench regression at exactly 20k docs). Skip detection
+        # entirely — stage 2 builds every run light, and the merge re-salts
+        # the exactly-heavy terms from the exact dictionary
+        # (reclassify_runs), which at this size costs a decode+re-encode of
+        # a handful of stopword-like lists instead of a full content pass.
+        # Identical final layout: a term is served salted iff its exact df
+        # exceeds the threshold, which is also what detection converges to.
+        heavy_bc = spark.sparkContext.broadcast(frozenset())
+        log(
+            "stage1a: corpus <= heavy_sample_min_docs — detection pass "
+            "skipped; merge-time reclassify salts heavy terms exactly"
         )
-        sample = documents if frac >= 1.0 else documents.sample(fraction=frac, seed=42)
+    elif pending:
+        frac = max(cfg.heavy_sample_fraction, cfg.heavy_sample_min_docs / n_docs_total)
+        sample = documents.sample(fraction=frac, seed=42)
         sampled_heavy = document_frequencies_fast(sample, cfg.content_col).filter(
             F.col("df") > F.lit(max(1.0, eff_heavy * frac))
         ).select("term")

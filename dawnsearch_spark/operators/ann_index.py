@@ -52,14 +52,22 @@ def build_ann_index(
     vec_col: str = "embedding",
 ) -> dict:
     """One pass: assign every vector to its bucket (lsh) / cell (ivf) and
-    write the table partitioned by that column. Returns the manifest."""
+    write the table partitioned by that column. Returns the manifest.
+    IVF cells use k-means-trained centroids (recorded in the manifest so
+    queries probe the SAME quantizer the data was partitioned with)."""
+    centroids = None
     if kind == "lsh":
         assigned = lsh_assign(emb, n_planes, seed, id_col, vec_col)
         part_col = "bucket"
     elif kind == "ivf":
-        assigned = ivf_assign(emb, n_cells, seed, id_col, vec_col).withColumnRenamed(
-            "cell", "bucket"
+        from dawnsearch_spark.operators.similarity import train_ivf_centroids
+
+        centroids = train_ivf_centroids(
+            emb, n_cells, seed, id_col=id_col, vec_col=vec_col
         )
+        assigned = ivf_assign(
+            emb, n_cells, seed, id_col, vec_col, centroids
+        ).withColumnRenamed("cell", "bucket")
         part_col = "bucket"
     else:
         raise ValueError(f"unknown ann index kind {kind!r}")
@@ -78,6 +86,7 @@ def build_ann_index(
         "id_col": id_col,
         "vec_col": vec_col,
         "part_col": part_col,
+        "centroids": None if centroids is None else centroids.tolist(),
     }
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -100,6 +109,9 @@ def ann_query(
     if m["kind"] == "lsh":
         targets = [lsh_query_bucket(qvec, m["n_planes"], m["seed"])]
     else:
-        targets = ivf_probe_cells(qvec, m["n_cells"], nprobe, m["seed"])
+        import numpy as np
+
+        cents = np.asarray(m["centroids"], float) if m.get("centroids") else None
+        targets = ivf_probe_cells(qvec, m["n_cells"], nprobe, m["seed"], cents)
     pruned = vectors.filter(F.col(m["part_col"]).isin(targets))
     return cosine_topk(pruned, qvec, k, m["id_col"], m["vec_col"])

@@ -27,8 +27,9 @@ from dawnsearch_spark.operators.text_analysis import normalized_fingerprint
 #: default skew guards for candidate generation. A single ubiquitous
 #: shingle / degenerate band bucket otherwise produces a quadratic
 #: candidate self-join (the 100-TB scale-killer): a bucket of B members
-#: emits B^2/2 candidate pairs. The caps bound that at cap^2/2 per key and
-#: are far above anything a genuine near-dup cluster needs.
+#: emits B^2/2 candidate pairs. Buckets above the cap emit a spanning
+#: CHAIN of id-adjacent pairs (O(B)) instead — giant duplicate clusters
+#: stay connected for keeper selection without the quadratic join.
 DEFAULT_MAX_SHINGLE_DF = 1000
 DEFAULT_MAX_BAND_BUCKET = 500
 
@@ -40,11 +41,69 @@ def drop_oversized_buckets(
 ) -> DataFrame:
     """Skew guard: drop candidate-generation keys (shingles, band buckets)
     with more than ``cap`` members. Oversized keys are rare by construction
-    (they are the skew), so their set is broadcast to an anti-join."""
+    (they are the skew), so their set is broadcast to an anti-join.
+
+    NOTE: prefer :func:`capped_pair_candidates` for pair generation — it
+    keeps oversized buckets reachable via a spanning chain instead of
+    making their clusters invisible."""
     if cap is None:
         return rows
     big = rows.groupBy(*keys).count().filter(F.col("count") > cap).select(*keys)
     return rows.join(F.broadcast(big), keys, "left_anti")
+
+
+def capped_pair_candidates(
+    rows: DataFrame,
+    keys: list[str],
+    cap: int | None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct (id_a, id_b[, <c>_a, <c>_b...]) candidate pairs from a
+    bucket-keyed relation (columns: ``_id``, *keys*, *extra_cols*).
+
+    Skew-capped generation: buckets with <= ``cap`` members emit ALL pairs
+    (self-equi-join); larger buckets emit a SPANNING CHAIN of id-adjacent
+    pairs — O(B) pairs instead of O(B^2) — so a giant near-duplicate
+    cluster (boilerplate: the primary dedup target, which collides in
+    EVERY band and would otherwise oversize every one of its buckets)
+    stays fully reachable through verified links for connected-components
+    keeper selection, instead of silently emitting zero pairs. The chain
+    costs one window shuffle over only the oversized-bucket rows.
+    """
+    from pyspark.sql import Window
+
+    def pair_select(joined):
+        cols = [
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+        ]
+        for c in extra_cols:
+            cols.append(F.col(f"a.{c}").alias(f"{c}_a"))
+            cols.append(F.col(f"b.{c}").alias(f"{c}_b"))
+        return joined.filter(F.col("a._id") < F.col("b._id")).select(*cols)
+
+    if cap is None:
+        return pair_select(rows.alias("a").join(rows.alias("b"), keys)).distinct()
+
+    counts = rows.groupBy(*keys).count()
+    big_keys = counts.filter(F.col("count") > cap).select(*keys)
+    ok = rows.join(F.broadcast(big_keys), keys, "left_anti")
+    pairs = pair_select(ok.alias("a").join(ok.alias("b"), keys))
+
+    big_rows = rows.join(F.broadcast(big_keys), keys, "left_semi")
+    w = Window.partitionBy(*keys).orderBy("_id")
+    chain = big_rows.withColumn("_prev_id", F.lag("_id").over(w))
+    for c in extra_cols:
+        chain = chain.withColumn(f"_prev_{c}", F.lag(c).over(w))
+    chain_cols = [
+        F.col("_prev_id").alias("id_a"),
+        F.col("_id").alias("id_b"),
+    ]
+    for c in extra_cols:
+        chain_cols.append(F.col(f"_prev_{c}").alias(f"{c}_a"))
+        chain_cols.append(F.col(c).alias(f"{c}_b"))
+    chain_pairs = chain.filter(F.col("_prev_id").isNotNull()).select(*chain_cols)
+    return pairs.unionByName(chain_pairs).distinct()
 
 
 # ---------- exact ----------
@@ -91,30 +150,30 @@ def jaccard_pairs_exact(
     threshold: float = 0.8,
     n: int = 3,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    persist_handles: list | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for every pair with shingle-Jaccard >= threshold.
 
-    Exact: any pair with J > 0 shares >= 1 shingle, so candidates come from
-    a self-equi-join on exploded shingles (skew guard: ``max_shingle_df``
-    drops ubiquitous shingles from candidate *generation* only — with a
-    threshold t, a pair is still found via its rarer shared shingles as
-    long as it shares at least one shingle below the cap; pass ``None`` to
-    disable the cap for small corpora needing threshold-0 exactness —
-    the default cap is ON because an uncapped shingle self-join is
-    quadratic in the df of the most common shingle).
+    Candidates come from a self-equi-join on exploded shingles (any pair
+    with J > 0 shares >= 1 shingle). Skew guard: shingles with more than
+    ``max_shingle_df`` occurrences emit a spanning CHAIN of id-adjacent
+    candidates instead of all O(df^2) pairs (an uncapped shingle self-join
+    is quadratic in the df of the most common shingle — the 100-TB
+    scale-killer). Precision is always exact (every output pair is
+    verified); with the default cap, recall is exact for any pair sharing
+    >= 1 sub-cap shingle, and pairs of an over-cap cluster remain
+    reachable through the verified chain links (connected components)
+    rather than exhaustively enumerated. Pass ``max_shingle_df=None`` for
+    the fully-exhaustive small-corpus oracle behavior. ``persist_handles``:
+    see :func:`minhash_lsh_pairs`.
     """
     from pyspark.storagelevel import StorageLevel
 
     base = shingle_sets(df, col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_handles is not None:
+        persist_handles.append(base)
     ex = base.select("_id", F.explode("_sh").alias("_s"))
-    ex = drop_oversized_buckets(ex, ["_s"], max_shingle_df)
-    cand = (
-        ex.alias("a")
-        .join(ex.alias("b"), "_s")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
+    cand = capped_pair_candidates(ex, ["_s"], max_shingle_df)
     sh = base
     pairs = (
         cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
@@ -284,16 +343,11 @@ def verified_jaccard_pairs(
 def band_candidates(
     band_rows: DataFrame, max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET
 ) -> DataFrame:
-    """Distinct (id_a, id_b) pairs colliding in >= 1 band bucket, with the
-    oversized-bucket skew guard applied before the self-join."""
-    rows = drop_oversized_buckets(band_rows, ["band", "bhash"], max_band_bucket)
-    return (
-        rows.alias("a")
-        .join(rows.alias("b"), ["band", "bhash"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
+    """Distinct (id_a, id_b) pairs colliding in >= 1 band bucket. Buckets
+    larger than ``max_band_bucket`` emit a spanning chain of id-adjacent
+    pairs instead of all O(B^2) — giant dup clusters stay connected
+    without a quadratic self-join (see :func:`capped_pair_candidates`)."""
+    return capped_pair_candidates(band_rows, ["band", "bhash"], max_band_bucket)
 
 
 def minhash_lsh_pairs(
@@ -306,11 +360,19 @@ def minhash_lsh_pairs(
     rows_per_band: int = 4,
     seed: int = MINHASH_SEED,
     max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+    persist_handles: list | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) near-dup pairs via MinHash banding: docs whose
     signatures collide in >= 1 band become candidates; candidates are then
     verified with the exact shingle Jaccard (so output precision is exact;
-    recall is the standard LSH S-curve at the chosen bands x rows)."""
+    recall is the standard LSH S-curve at the chosen bands x rows).
+
+    ``persist_handles``: the shingle/band intermediates are persisted
+    (they feed multiple plan branches; without caching the signature UDFs
+    re-run 3-5x). Pass a list to receive the persisted DataFrames and
+    ``unpersist()`` them after consuming the result — in a long-lived
+    session repeated calls otherwise accumulate cached blocks until
+    eviction (use :func:`release_handles`)."""
     from pyspark.storagelevel import StorageLevel
 
     # Both intermediates feed multiple branches (band self-join = two
@@ -323,8 +385,18 @@ def minhash_lsh_pairs(
     rows = minhash_band_rows(shingled, bands, rows_per_band, seed).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    if persist_handles is not None:
+        persist_handles += [shingled, rows]
     cand = band_candidates(rows, max_band_bucket)
     return verified_jaccard_pairs(cand, shingled, threshold)
+
+
+def release_handles(persist_handles: list) -> None:
+    """Unpersist every cached intermediate collected via a function's
+    ``persist_handles`` parameter (call after a materializing action)."""
+    for h in persist_handles:
+        h.unpersist()
+    persist_handles.clear()
 
 
 # ---------- SimHash ----------
@@ -437,21 +509,13 @@ def simhash_pairs_from(
             )
         ).alias("bb"),
     ).select("_id", "simhash", "bb.band", "bb.bkey")
-    bands = drop_oversized_buckets(bands, ["band", "bkey"], max_band_bucket)
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bkey"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
+    cand = capped_pair_candidates(
+        bands, ["band", "bkey"], max_band_bucket, extra_cols=("simhash",)
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -463,18 +527,22 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_band_bucket: int | None = DEFAULT_MAX_BAND_BUCKET,
+    persist_handles: list | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs within Hamming distance, candidates via
     (max_hamming + 1)-band blocking — a pair within the distance budget
     always collides in >= 1 band (pigeonhole over the band spans); band
     buckets larger than ``max_band_bucket`` (e.g. boilerplate/empty-doc
-    collisions) are excluded from candidate generation. The signature
+    collisions) emit an id-adjacent spanning chain instead of all pairs
+    (see :func:`capped_pair_candidates`). The signature
     table feeds three branches (cap aggregate + both self-join sides), so
     it is persisted — otherwise the Arrow signature pass re-runs per
-    branch."""
+    branch. ``persist_handles``: see :func:`minhash_lsh_pairs`."""
     from pyspark.storagelevel import StorageLevel
 
     sim = simhash64(df, col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_handles is not None:
+        persist_handles.append(sim)
     return simhash_pairs_from(
         sim, max_hamming, id_col=id_col, max_band_bucket=max_band_bucket
     )

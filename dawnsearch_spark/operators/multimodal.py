@@ -216,32 +216,105 @@ def synthesize_bmp_media(
     )
 
 
+def _bmp_layout(payload: bytes) -> tuple:
+    """(width, height, data_offset, bottom_up) of a 24-bit uncompressed
+    BMP — header-only parse, used to group same-shape images for stacked
+    decode. Raises like :func:`decode_bmp` on unsupported payloads."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got bpp={bpp}, comp={comp})")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    return w, abs(h), off, h > 0
+
+
+def _ppm_layout(payload: bytes) -> tuple:
+    import re
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+255\s", payload[:64])
+    if not m:
+        raise ValueError("not a maxval-255 P6 PPM payload")
+    return int(m.group(1)), int(m.group(2)), m.end(), False
+
+
 def decode_image_stats(media: DataFrame) -> DataFrame:
-    """Decode each payload (real decoder, format from ``media_type``) and
-    emit per-image statistics: dimensions, float64 channel means, and the
+    """Decode payloads (real decoder, format from ``media_type``) and emit
+    per-image statistics: dimensions, float64 channel means, and the
     top-left G value — the corner pixel is row-order-sensitive, so a
     decoder that forgets BMP's bottom-up layout fails loudly here while
-    whole-image means would not notice."""
+    whole-image means would not notice.
+
+    Batched decode (VERDICT r2 item 8): within each Arrow batch, payloads
+    are grouped by (media_type, width, height, data offset) — a header-only
+    parse per row — and each group is decoded as ONE stacked NumPy pass
+    (a (B, H, W, 3) array), so the pixel math never loops per image.
+    Variable-size corpora degrade gracefully: a group per distinct shape."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            out = {"doc_id": [], "width": [], "height": [],
-                   "mean_r": [], "mean_g": [], "mean_b": [], "corner_g": []}
-            for did, payload, mtype in zip(
-                pdf["doc_id"], pdf["media"], pdf["media_type"]
-            ):
-                img = decode_media(bytes(payload), mtype)
-                means = img.reshape(-1, 3).mean(axis=0)
-                out["doc_id"].append(int(did))
-                out["height"].append(img.shape[0])
-                out["width"].append(img.shape[1])
-                out["mean_r"].append(float(means[0]))
-                out["mean_g"].append(float(means[1]))
-                out["mean_b"].append(float(means[2]))
-                out["corner_g"].append(int(img[0, 0, 1]))
-            yield pd.DataFrame(out)
+            n = len(pdf)
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            mtypes = pdf["media_type"].to_numpy()
+            payloads = [bytes(b) for b in pdf["media"]]
+            groups: dict[tuple, list[int]] = {}
+            for i in range(n):
+                mt = mtypes[i]
+                if mt == "image/bmp":
+                    w, h, off, bup = _bmp_layout(payloads[i])
+                elif mt in ("image/x-portable-pixmap", "image/ppm"):
+                    w, h, off, bup = _ppm_layout(payloads[i])
+                else:
+                    decode_media(payloads[i], mt)  # raises the stub error
+                    raise AssertionError("unreachable")
+                groups.setdefault((mt, w, h, off, bup), []).append(i)
+
+            width = np.empty(n, np.int32)
+            height = np.empty(n, np.int32)
+            means = np.empty((n, 3), np.float64)
+            corner_g = np.empty(n, np.int32)
+            for (mt, w, h, off, bup), idxs in groups.items():
+                if mt == "image/bmp":
+                    row_size = (w * 3 + 3) // 4 * 4
+                    mat = np.stack(
+                        [
+                            np.frombuffer(payloads[i], np.uint8, count=row_size * h, offset=off)
+                            for i in idxs
+                        ]
+                    )
+                    imgs = mat.reshape(-1, h, row_size)[:, :, : w * 3]
+                    imgs = imgs.reshape(-1, h, w, 3)[:, :, :, ::-1]  # BGR -> RGB
+                    if bup:
+                        imgs = imgs[:, ::-1]
+                else:  # P6 PPM
+                    mat = np.stack(
+                        [
+                            np.frombuffer(payloads[i], np.uint8, count=w * h * 3, offset=off)
+                            for i in idxs
+                        ]
+                    )
+                    imgs = mat.reshape(-1, h, w, 3)
+                sel = np.asarray(idxs)
+                width[sel] = w
+                height[sel] = h
+                means[sel] = imgs.reshape(len(idxs), -1, 3).mean(axis=1)
+                corner_g[sel] = imgs[:, 0, 0, 1]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": width,
+                    "height": height,
+                    "mean_r": means[:, 0],
+                    "mean_g": means[:, 1],
+                    "mean_b": means[:, 2],
+                    "corner_g": corner_g,
+                }
+            )
 
     return media.select("doc_id", "media", "media_type").mapInPandas(
         gen,

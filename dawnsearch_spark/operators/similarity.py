@@ -138,17 +138,80 @@ def _centroids(dim: int, n_cells: int, seed: int = 42) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_size: int = 4096,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seeded spherical k-means over a deterministic sample -> (n_cells,
+    dim) unit centroids.
+
+    Random gaussian centroids (round 1-2) make recall at a given nprobe
+    luck, not design: cells don't follow the data density, so a query's
+    true neighbors scatter across arbitrary cells. A few k-means
+    iterations put ~equal data mass per cell and co-locate neighbors,
+    making nprobe/n_cells a real recall knob (reference analog: the
+    bucket index this replaces, examples_old/search_bucket.rs:15-90).
+
+    Driver-side on a bounded sample (``sample_size`` rows via
+    deterministic orderBy-limit — one small collect); at 100-TB scale the
+    sample is still a constant-size collect and the trained centroids
+    ship to executors inside the assignment closure (a few KB).
+    Determinism: seeded init from sample points, stable argmax/argsort,
+    empty cells re-seeded to the worst-fit points."""
+    rows = emb.orderBy(F.col(id_col)).limit(sample_size).select(vec_col).collect()
+    if not rows:
+        raise ValueError("cannot train IVF centroids on an empty relation")
+    X = np.stack([np.asarray(r[0], np.float64) for r in rows])
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Xn = X / norms
+    rng = np.random.default_rng(seed + 2)
+    if len(Xn) >= n_cells:
+        C = Xn[rng.choice(len(Xn), n_cells, replace=False)].copy()
+    else:
+        C = _centroids(Xn.shape[1], n_cells, seed)
+        C[: len(Xn)] = Xn
+    for _ in range(iters):
+        sims = Xn @ C.T
+        a = sims.argmax(axis=1)
+        M = np.zeros_like(C)
+        np.add.at(M, a, Xn)
+        counts = np.bincount(a, minlength=n_cells)
+        fit = sims[np.arange(len(Xn)), a]  # for empty-cell reseeding
+        worst = np.argsort(fit, kind="stable")
+        wi = 0
+        for c in range(n_cells):
+            if counts[c] == 0:
+                M[c] = Xn[worst[wi]]
+                wi += 1
+        nm = np.linalg.norm(M, axis=1, keepdims=True)
+        nm[nm == 0] = 1.0
+        C = M / nm
+    return C
+
+
 def ivf_assign(
     emb: DataFrame,
     n_cells: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest (cosine) coarse centroid — one
-    vectorized NumPy matmul per Arrow batch (no per-row Python)."""
+    vectorized NumPy matmul per Arrow batch (no per-row Python). Pass the
+    ``centroids`` from :func:`train_ivf_centroids` for data-aware cells
+    (they ship once in the closure — a few KB); default falls back to the
+    seeded random quantizer."""
+    fixed = None if centroids is None else np.ascontiguousarray(centroids, np.float64)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cents = None
+        cents = fixed
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -164,11 +227,19 @@ def ivf_assign(
 
 
 def ivf_probe_cells(
-    qvec: list[float], n_cells: int = 16, nprobe: int = 4, seed: int = 42
+    qvec: list[float],
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> list[int]:
     """The ``nprobe`` cells nearest (cosine) to the query vector."""
     q = np.asarray(qvec, np.float64)
-    cents = _centroids(len(qvec), n_cells, seed)
+    cents = (
+        np.asarray(centroids, np.float64)
+        if centroids is not None
+        else _centroids(len(qvec), n_cells, seed)
+    )
     qn = q / (np.linalg.norm(q) or 1.0)
     return [int(c) for c in np.argsort(-(cents @ qn), kind="stable")[:nprobe]]
 
@@ -182,13 +253,20 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    train: bool = True,
 ) -> DataFrame:
     """IVF search: score only vectors in the nprobe nearest cells.
     (At scale the cell is a write-time partition column -> pruned scan;
     reference analog: bucket multi-assignment INSERT_COUNT=3,
-    examples_old/search_bucket.rs:15-90.)"""
-    probe = ivf_probe_cells(qvec, n_cells, nprobe, seed)
-    assigned = ivf_assign(emb, n_cells, seed, id_col, vec_col)
+    examples_old/search_bucket.rs:15-90.) Centroids are k-means-trained by
+    default (``train=False`` restores the seeded random quantizer)."""
+    if centroids is None and train:
+        centroids = train_ivf_centroids(
+            emb, n_cells, seed, id_col=id_col, vec_col=vec_col
+        )
+    probe = ivf_probe_cells(qvec, n_cells, nprobe, seed, centroids)
+    assigned = ivf_assign(emb, n_cells, seed, id_col, vec_col, centroids)
     sel = emb.join(
         F.broadcast(assigned.filter(F.col("cell").isin(probe)).select(id_col)),
         id_col,

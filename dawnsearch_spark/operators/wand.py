@@ -10,6 +10,10 @@ Reference semantics being preserved (SURVEY.md §2.5 T1/T4, §4 P1/P2):
   range tasks prune candidates whose block-max upper bound is below θ;
 * bounded top-k accumulator with (score desc, doc_id asc) final order
   (/root/reference/src/search/best_results.rs:28-79);
+* per-search observability counters, the analog of the reference's
+  ``servers_contacted`` / ``pages_searched``
+  (/root/reference/src/search/search_provider.rs:44-59): ranges pruned,
+  blocks decoded, postings scored, driver postings decoded, path taken;
 * unlike the reference's 200 ms best-effort deadline gather
   (udp_service.rs:300-341), the Spark stage barrier makes our merge
   complete — results are exact, verified rank-identical to the full-scan
@@ -17,13 +21,24 @@ Reference semantics being preserved (SURVEY.md §2.5 T1/T4, §4 P1/P2):
 
 Execution shape (one pruned segment scan + one tiny collect):
   query terms -> bucket + term predicate pushdown into the segment parquet
-  -> light rows (bounded by heavy_df_threshold) decoded on the driver
-  -> heavy rows grouped into range tasks (applyInPandas); each task
-     processes its doc-ranges in descending upper-bound order, maintains a
-     rising local θ (seeded from the driver's light pass), prunes whole
-     ranges by Σ max_impact, prunes candidates by per-block max impact,
-     and decodes tf/dl only for blocks that still have surviving docs
+  -> metadata-only plan collect (term, range_id, df, n_docs, max_impact —
+     column-pruned, no blobs)
+  -> light rows decoded on the driver, smallest-df first, under a hard
+     ``max_driver_postings`` budget; overflow light lists are RANGE-SPLIT
+     on the executors (mapInPandas decode -> per-doc-range re-pack) into
+     rows shaped exactly like heavy range rows
+  -> heavy + split rows grouped into range tasks (applyInPandas); each
+     task processes its doc-ranges in descending upper-bound order,
+     maintains a rising local θ (seeded from the driver's light pass PLUS
+     a driver pre-score of the single best-upper-bound range), prunes
+     whole ranges by Σ max_impact, prunes candidates by per-block max
+     impact, and decodes tf/dl only for blocks that still have survivors
   -> driver merges per-task top-k (dedup keep-max), final sort.
+
+The per-doc score for any doc is computed whole inside exactly one range
+task (all heavy/split rows of a doc-range carry the same range_id, and the
+driver-resident light lists are sliced per range inside the task), so the
+keep-max merge never adds partial scores — the merge is exact.
 
 All per-posting work is NumPy-vectorized. Scores accumulate per doc in
 ascending-term order in float64 — bitwise identical to the oracle's fold
@@ -48,7 +63,35 @@ from dawnsearch_spark.functions.tokenizer import tokenize_py
 from dawnsearch_spark.index_build import IndexPaths, load_stats
 from dawnsearch_spark.operators.tf import CorpusStats
 
-RESULT_SCHEMA = "doc_id long, score double"
+# Data rows carry doc_id >= 0 with zeroed counters; each task additionally
+# emits ONE summary row (doc_id = -1) whose counter columns hold the task's
+# totals — the driver splits on the sign and sums the summaries.
+RESULT_SCHEMA = (
+    "doc_id long, score double, "
+    "ranges_pruned long, blocks_decoded long, postings_scored long"
+)
+
+_CTR_KEYS = ("ranges_pruned", "blocks_decoded", "postings_scored")
+
+
+def new_counters() -> dict:
+    return {
+        "path": "",
+        "terms": 0,
+        "light_terms_driver": 0,
+        "light_terms_overflow": 0,
+        "heavy_rows": 0,
+        "driver_postings_decoded": 0,
+        "ranges_pruned": 0,
+        "blocks_decoded": 0,
+        "postings_scored": 0,
+        # θ-seed pre-pass work (driver-side, distributed branch only) —
+        # kept separate so blocks_decoded stays comparable to the index's
+        # block directory totals
+        "seed_blocks_decoded": 0,
+        "seed_postings_scored": 0,
+        "theta_seed": 0.0,
+    }
 
 
 @dataclass
@@ -88,10 +131,14 @@ def _row_to_dict(r) -> dict:
     }
 
 
-def _decode_blocks_tf_dl(row: dict, blocks: np.ndarray, block_size: int) -> dict[int, tuple]:
+def _decode_blocks_tf_dl(
+    row: dict, blocks: np.ndarray, block_size: int, ctr: dict | None = None
+) -> dict[int, tuple]:
     """Decode tf/dl streams only for the given block ids (BMW's saving)."""
     out = {}
     n = int(row["n_docs"])
+    if ctr is not None:
+        ctr["blocks_decoded"] += len(blocks)
     for b in blocks:
         b = int(b)
         s = b * block_size
@@ -140,6 +187,7 @@ def _score_one_range(
     theta: float,
     stats: CorpusStats,
     cfg: EngineConfig,
+    ctr: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact scores for surviving docs of one doc-range."""
     # light slices restricted to this range, scored exactly (cheap, small)
@@ -157,6 +205,8 @@ def _score_one_range(
         qtf * heavy_rows[t]["max_impact"] for t, qtf, _ in qmeta if t in heavy_rows
     )
     if heavy_ub + light_ub < theta:
+        if ctr is not None:
+            ctr["ranges_pruned"] += 1
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
 
     heavy_docs = {t: _decode_row_docs(r) for t, r in heavy_rows.items()}
@@ -175,9 +225,13 @@ def _score_one_range(
             ub[np.searchsorted(cand, sdocs)] += ssc
     keep = ub >= theta
     if not keep.any():
+        if ctr is not None:
+            ctr["ranges_pruned"] += 1
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
     surv = cand[keep]
     acc = np.zeros(len(surv), np.float64)
+    if ctr is not None:
+        ctr["postings_scored"] += int(len(surv))
     for t, qtf, idf in qmeta:  # ascending-term fold (rank determinism)
         if t in heavy_rows:
             row = heavy_rows[t]
@@ -187,7 +241,7 @@ def _score_one_range(
             if m.any():
                 p = pos[m]
                 blocks = np.unique(p // cfg.block_size)
-                tfdl = _decode_blocks_tf_dl(row, blocks, cfg.block_size)
+                tfdl = _decode_blocks_tf_dl(row, blocks, cfg.block_size, ctr)
                 tf_v = np.empty(len(p), np.int64)
                 dl_v = np.empty(len(p), np.int64)
                 for b in blocks:
@@ -202,6 +256,20 @@ def _score_one_range(
             m = (pos < len(surv)) & (surv[np.minimum(pos, len(surv) - 1)] == sdocs)
             acc[pos[m]] += ssc[m]
     return surv, acc
+
+
+def _result_frame(top: list[tuple[float, int]], ctr: dict) -> pd.DataFrame:
+    """Data rows + one doc_id=-1 summary row carrying the task counters."""
+    zeros = [0] * len(top)
+    return pd.DataFrame(
+        {
+            "doc_id": [d for _, d in top] + [-1],
+            "score": [s for s, _ in top] + [0.0],
+            "ranges_pruned": zeros + [ctr["ranges_pruned"]],
+            "blocks_decoded": zeros + [ctr["blocks_decoded"]],
+            "postings_scored": zeros + [ctr["postings_scored"]],
+        }
+    )
 
 
 def make_range_scorer(
@@ -219,6 +287,7 @@ def make_range_scorer(
 
     def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
         theta = theta0
+        ctr = {key: 0 for key in _CTR_KEYS}
         found: list[tuple[float, int]] = []  # (score, doc_id)
         by_range: dict[int, dict[str, dict]] = {}
         for _, r in pdf.iterrows():
@@ -234,7 +303,7 @@ def make_range_scorer(
             lo = range_id * cfg.range_size
             hi = lo + cfg.range_size
             surv, acc = _score_one_range(
-                lo, hi, heavy_rows, lights, qmeta, theta, stats, cfg
+                lo, hi, heavy_rows, lights, qmeta, theta, stats, cfg, ctr
             )
             for d, s in zip(surv, acc):
                 found.append((float(s), int(d)))
@@ -244,12 +313,59 @@ def make_range_scorer(
             if len(found) >= k:
                 theta = max(theta, sorted((s for s, _ in found), reverse=True)[k - 1])
         found.sort(key=lambda x: (-x[0], x[1]))
-        top = found[:k]
-        return pd.DataFrame(
-            {"doc_id": [d for _, d in top], "score": [s for s, _ in top]}
-        )
+        return _result_frame(found[:k], ctr)
 
     return scorer
+
+
+def _split_light_rows_gen(stats: CorpusStats, cfg: EngineConfig):
+    """mapInPandas generator: range-split overflow light rows into rows
+    shaped exactly like heavy range rows (same blocked varbyte layout,
+    block-max directory recomputed per slice, GLOBAL df preserved so idf
+    and impacts are identical to the unsplit list). This is the executor
+    half of the driver-postings budget: the decode of a big light list
+    happens here, bounded per row by ``heavy_df_max``, never on the
+    driver. Reference analog: the bounded accumulator + shipped threshold
+    (best_results.rs:28-65) — overflow lists join the same pruned
+    distributed merge as heavy terms instead of a driver hot spot."""
+    from dawnsearch_spark.functions.codec import decode_all_postings
+    from dawnsearch_spark.operators.merge import SEGMENT_COLS, _make_segment_row
+
+    range_size = cfg.range_size
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                row = {
+                    "n_docs": int(r.n_docs),
+                    "doc_blob": bytes(r.doc_blob),
+                    "tf_blob": bytes(r.tf_blob),
+                    "dl_blob": bytes(r.dl_blob),
+                }
+                docs, tfs, dls = decode_all_postings(row, cfg.block_size)
+                ranges = docs // range_size
+                bounds = np.concatenate(
+                    ([0], np.flatnonzero(ranges[1:] != ranges[:-1]) + 1, [len(docs)])
+                )
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    out.append(
+                        _make_segment_row(
+                            r.term,
+                            int(ranges[s]),
+                            int(r.df),
+                            docs[s:e],
+                            tfs[s:e],
+                            dls[s:e],
+                            stats.n_docs,
+                            stats.avgdl,
+                            cfg,
+                        )
+                    )
+            if out:
+                yield pd.DataFrame({c: [o[c] for o in out] for c in SEGMENT_COLS})
+
+    return gen
 
 
 def search_index(
@@ -262,16 +378,28 @@ def search_index(
     max_driver_heavy_rows: int = 256,
     seg_df=None,
     stats: CorpusStats | None = None,
+    counters: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for a query string or a {term: weight} bag.
 
     Gathers ``top_k_internal`` candidates internally and returns ``k``
     (reference: internal k=20, displayed 10 — search_provider.rs:214,
-    examples_old/search.rs:55-63). If the pruned heavy-row set is small
-    (<= ``max_driver_heavy_rows``) the range scoring runs on the driver —
-    the reference's local-search-first shape — avoiding a distributed job
-    for small/medium indexes; larger row sets fan out as range tasks.
+    examples_old/search.rs:55-63).
+
+    Driver memory is bounded by ``cfg.max_driver_postings``: light lists
+    are decoded on the driver smallest-first under that budget (they seed
+    θ); overflow light lists are range-split on the executors and scored
+    in the distributed range tasks. The heavy-row fast path (score on the
+    driver, the reference's local-search-first shape) is taken only when
+    the TOTAL postings it would decode also fit the budget.
+
+    ``counters``: pass a dict to receive per-search observability counters
+    (see :func:`new_counters`) — the reference's servers_contacted /
+    pages_searched analog (search_provider.rs:44-59).
     """
+    ctr = counters if counters is not None else new_counters()
+    for key, v in new_counters().items():
+        ctr.setdefault(key, v)
     k_out = k or cfg.top_k
     k = max(k_out, cfg.top_k_internal)
     paths = IndexPaths(index_root)
@@ -281,76 +409,178 @@ def search_index(
     else:
         bag = {t: int(w) for t, w in query.items()}
     terms = sorted(bag)
+    ctr["terms"] = len(terms)
     if not terms:
         return []
     buckets = sorted({_term_bucket(t, cfg.num_term_buckets) for t in terms})
     seg_all = seg_df if seg_df is not None else spark.read.parquet(paths.segments)
     seg = seg_all.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
-    # One collect covers the whole query when the pruned row set is small
-    # (the common case: light lists + a handful of range-chunked heavy
-    # rows) — the reference's local-search-first shape, E1 step 3.
-    probe_all = seg.limit(max_driver_heavy_rows + 1).collect()
-    if len(probe_all) <= max_driver_heavy_rows:
-        light_rows = [r for r in probe_all if int(r["range_id"]) == -1]
-        heavy_probe = [r for r in probe_all if int(r["range_id"]) >= 0]
-    else:
-        light_rows = seg.filter(F.col("range_id") == -1).collect()
-        heavy_probe = None
-    lights: list[LightList] = []
-    for r in light_rows:
+    # ---- metadata-only plan (column-pruned: no blobs leave the scan) ----
+    meta = seg.select("term", "range_id", "df", "n_docs", "max_impact").collect()
+    light_meta = [r for r in meta if int(r["range_id"]) == -1]
+    heavy_meta = [r for r in meta if int(r["range_id"]) >= 0]
+    ctr["heavy_rows"] = len(heavy_meta)
+    budget = cfg.max_driver_postings
+
+    # driver-resident light lists: smallest first, under the budget
+    driver_terms: list[str] = []
+    overflow_terms: list[str] = []
+    cum = 0
+    for r in sorted(light_meta, key=lambda r: (int(r["n_docs"]), r["term"])):
+        if cum + int(r["n_docs"]) <= budget:
+            cum += int(r["n_docs"])
+            driver_terms.append(r["term"])
+        else:
+            overflow_terms.append(r["term"])
+    ctr["light_terms_driver"] = len(driver_terms)
+    ctr["light_terms_overflow"] = len(overflow_terms)
+
+    # idf inputs: global df per term — every segment row (heavy range row
+    # or light row) carries the dictionary df, so idf is exact everywhere
+    term_df = {r["term"]: int(r["df"]) for r in meta}
+    qmeta = [
+        (t, bag[t], float(idf_np(float(term_df[t]), float(stats.n_docs))))
+        for t in terms
+        if t in term_df
+    ]
+
+    def _decode_light(r) -> LightList:
         rd = _row_to_dict(r)
         gaps = varbyte_decode(rd["doc_blob"], rd["n_docs"])
-        docs = np.cumsum(gaps.astype(np.int64))
-        tfs = varbyte_decode(rd["tf_blob"], rd["n_docs"]).astype(np.int64)
-        dls = varbyte_decode(rd["dl_blob"], rd["n_docs"]).astype(np.int64)
-        lights.append(
-            LightList(
-                term=rd["term"],
-                qtf=bag[rd["term"]],
-                idf=float(idf_np(float(rd["df"]), float(stats.n_docs))),
-                docs=docs,
-                tfs=tfs,
-                dls=dls,
-            )
+        return LightList(
+            term=rd["term"],
+            qtf=bag[rd["term"]],
+            idf=float(idf_np(float(rd["df"]), float(stats.n_docs))),
+            docs=np.cumsum(gaps.astype(np.int64)),
+            tfs=varbyte_decode(rd["tf_blob"], rd["n_docs"]).astype(np.int64),
+            dls=varbyte_decode(rd["dl_blob"], rd["n_docs"]).astype(np.int64),
         )
-    # driver light pass: exact partial scores -> θ seed + candidates
-    ldocs, lscores = _exact_light_scores(lights, stats, cfg)
-    theta0 = 0.0
-    if len(lscores) >= k:
-        theta0 = float(np.partition(lscores, -k)[-k])
 
-    def _qmeta(heavy_info: dict[str, int]) -> list[tuple[str, int, float]]:
-        return [
-            (t, bag[t], float(idf_np(float(heavy_info.get(t, 0)), float(stats.n_docs))))
-            for t in terms
-            if t in heavy_info or any(l.term == t for l in lights)
-        ]
+    def _light_pass(lights: list[LightList]) -> tuple[np.ndarray, np.ndarray, float]:
+        ldocs, lscores = _exact_light_scores(lights, stats, cfg)
+        theta0 = 0.0
+        if len(lscores) >= k:
+            theta0 = float(np.partition(lscores, -k)[-k])
+        return ldocs, lscores, theta0
 
-    if heavy_probe is not None:
-        if not heavy_probe:
+    ctr["driver_postings_decoded"] = cum
+    heavy_postings = sum(int(r["n_docs"]) for r in heavy_meta)
+
+    if not heavy_meta and not overflow_terms:
+        ctr["path"] = "light_only"
+        lights = [_decode_light(r) for r in seg.filter(F.col("range_id") == -1).collect()]
+        ldocs, lscores, _ = _light_pass(lights)
+        return _topk_merge(ldocs, lscores, k)[:k_out]
+
+    if (
+        not overflow_terms
+        and len(heavy_meta) <= max_driver_heavy_rows
+        and cum + heavy_postings <= budget
+    ):
+        # driver-side scoring (reference's local-search-first, E1 step 3):
+        # overflow is empty so every matching row fits the budget — ONE
+        # collect covers the whole query
+        ctr["path"] = "driver"
+        ctr["driver_postings_decoded"] += heavy_postings
+        all_rows = seg.collect()
+        lights = [_decode_light(r) for r in all_rows if int(r["range_id"]) == -1]
+        ldocs, lscores, theta0 = _light_pass(lights)
+        heavy_rows = [r for r in all_rows if int(r["range_id"]) >= 0]
+        if not heavy_rows:
             return _topk_merge(ldocs, lscores, k)[:k_out]
-        # driver-side scoring (reference's local-search-first, E1 step 3)
-        heavy_info = {r["term"]: int(r["df"]) for r in heavy_probe}
-        scorer = make_range_scorer(lights, _qmeta(heavy_info), theta0, k, stats, cfg)
-        result_pdf = scorer(pd.DataFrame([r.asDict() for r in heavy_probe]))
-        rdocs = result_pdf["doc_id"].to_numpy(np.int64)
-        rscores = result_pdf["score"].to_numpy(np.float64)
+        scorer = make_range_scorer(lights, qmeta, theta0, k, stats, cfg)
+        result_pdf = scorer(pd.DataFrame([r.asDict() for r in heavy_rows]))
+        data = result_pdf[result_pdf["doc_id"] >= 0]
+        summ = result_pdf[result_pdf["doc_id"] < 0]
+        for key in _CTR_KEYS:
+            ctr[key] += int(summ[key].sum())
         return _topk_merge(
-            np.concatenate([ldocs, rdocs]), np.concatenate([lscores, rscores]), k
+            np.concatenate([ldocs, data["doc_id"].to_numpy(np.int64)]),
+            np.concatenate([lscores, data["score"].to_numpy(np.float64)]),
+            k,
         )[:k_out]
 
-    heavy = seg.filter(F.col("range_id") >= 0)
-    heavy_info = {r["term"]: int(r["df"]) for r in heavy.select("term", "df").distinct().collect()}
-    scorer = make_range_scorer(lights, _qmeta(heavy_info), theta0, k, stats, cfg)
+    # ---- distributed branch ----
+    ctr["path"] = "distributed"
+    lights = []
+    if driver_terms:
+        lights = [
+            _decode_light(r)
+            for r in seg.filter(
+                (F.col("range_id") == -1) & F.col("term").isin(driver_terms)
+            ).collect()
+        ]
+    ldocs, lscores, theta0 = _light_pass(lights)
+    seed_docs = np.zeros(0, np.int64)
+    seed_scores = np.zeros(0, np.float64)
+    if heavy_meta:
+        # θ pre-seed: driver-score the single best-upper-bound range so
+        # every task group starts from a tight θ instead of re-deriving it
+        # (reference analog: the LOCAL top-k's worst distance is shipped as
+        # the remote filter, search_service.rs:214-222). Conservative in
+        # both directions: seed scores are true partial-or-full scores, so
+        # θ stays a lower bound of the kth best.
+        range_ub: dict[int, float] = {}
+        range_postings: dict[int, int] = {}
+        for r in heavy_meta:
+            rid = int(r["range_id"])
+            range_ub[rid] = range_ub.get(rid, 0.0) + bag[r["term"]] * float(r["max_impact"])
+            range_postings[rid] = range_postings.get(rid, 0) + int(r["n_docs"])
+        best_rid = max(sorted(range_ub), key=lambda rid: range_ub[rid])
+        if cum + range_postings[best_rid] <= budget:
+            ctr["driver_postings_decoded"] += range_postings[best_rid]
+            seed_rows = seg.filter(F.col("range_id") == best_rid).collect()
+            seed_dict = {r["term"]: _row_to_dict(r) for r in seed_rows}
+            seed_ctr = {key: 0 for key in _CTR_KEYS}
+            seed_docs, seed_scores = _score_one_range(
+                best_rid * cfg.range_size,
+                (best_rid + 1) * cfg.range_size,
+                seed_dict,
+                lights,
+                qmeta,
+                theta0,
+                stats,
+                cfg,
+                seed_ctr,
+            )
+            ctr["seed_blocks_decoded"] += seed_ctr["blocks_decoded"]
+            ctr["seed_postings_scored"] += seed_ctr["postings_scored"]
+            merged_seed = _topk_merge(
+                np.concatenate([ldocs, seed_docs]),
+                np.concatenate([lscores, seed_scores]),
+                k,
+            )
+            if len(merged_seed) >= k:
+                theta0 = max(theta0, merged_seed[k - 1][1])
+    ctr["theta_seed"] = theta0
+
+    from dawnsearch_spark.operators.merge import SEGMENT_COLS, SEGMENT_SCHEMA
+
+    rows_df = seg.filter(F.col("range_id") >= 0).select(*SEGMENT_COLS)
+    if overflow_terms:
+        ov = seg.filter(
+            (F.col("range_id") == -1) & F.col("term").isin(overflow_terms)
+        ).select(*SEGMENT_COLS)
+        split = ov.mapInPandas(_split_light_rows_gen(stats, cfg), SEGMENT_SCHEMA)
+        rows_df = rows_df.unionByName(split)
+
+    scorer = make_range_scorer(lights, qmeta, theta0, k, stats, cfg)
     result = (
-        heavy.withColumn("task_group", F.pmod(F.col("range_id"), F.lit(task_groups)))
+        rows_df.withColumn("task_group", F.pmod(F.col("range_id"), F.lit(task_groups)))
         .groupBy("task_group")
         .applyInPandas(scorer, RESULT_SCHEMA)
         .collect()
     )
-    all_docs = np.concatenate([ldocs, np.array([r["doc_id"] for r in result], np.int64)])
+    data = [r for r in result if int(r["doc_id"]) >= 0]
+    for r in result:
+        if int(r["doc_id"]) < 0:
+            for key in _CTR_KEYS:
+                ctr[key] += int(r[key])
+    all_docs = np.concatenate(
+        [ldocs, seed_docs, np.array([r["doc_id"] for r in data], np.int64)]
+    )
     all_scores = np.concatenate(
-        [lscores, np.array([r["score"] for r in result], np.float64)]
+        [lscores, seed_scores, np.array([r["score"] for r in data], np.float64)]
     )
     return _topk_merge(all_docs, all_scores, k)[:k_out]

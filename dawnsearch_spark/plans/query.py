@@ -32,6 +32,7 @@ class Engine:
         self.cfg = cfg or EngineConfig()
         self.paths = IndexPaths(index_root)
         self.stats_ = load_stats(index_root)  # raises if index absent
+        self.last_search_counters: dict = {}
         # cached segment relation: avoids per-query file listing + schema
         # inference (the dominant cost of small queries)
         self._segments = spark.read.parquet(self.paths.segments)
@@ -65,16 +66,29 @@ class Engine:
     def documents(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.documents)
 
-    def search(self, query: str | dict[str, int], k: int | None = None) -> list[tuple[int, float]]:
-        """Top-k (doc_id, score), rank-identical to the exact oracle."""
+    def search(
+        self,
+        query: str | dict[str, int],
+        k: int | None = None,
+        max_driver_heavy_rows: int = 256,
+    ) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), rank-identical to the exact oracle.
+        Per-search observability counters (ranges pruned, blocks decoded,
+        postings scored, driver postings decoded, path) land in
+        ``self.last_search_counters`` — the reference returns the analogous
+        servers_contacted/pages_searched with every result
+        (search_provider.rs:44-59)."""
+        self.last_search_counters = {}
         return search_index(
             self.spark,
             self.paths.root,
             query,
             self.cfg,
             k=k,
+            max_driver_heavy_rows=max_driver_heavy_rows,
             seg_df=self._segments,
             stats=self.stats_,
+            counters=self.last_search_counters,
         )
 
     def search_df(self, query: str | dict[str, int], k: int | None = None) -> DataFrame:
@@ -103,11 +117,13 @@ class Engine:
         return self.search(dict(top_terms), k=k)
 
     def stats(self) -> dict:
-        """Lineage counters (A3 analog: pages_indexed & friends)."""
+        """Lineage counters (A3 analog: pages_indexed & friends) plus the
+        last search's observability counters."""
         return {
             "n_docs": self.stats_.n_docs,
             "avgdl": self.stats_.avgdl,
             "total_tokens": self.stats_.total_tokens,
+            "last_search": getattr(self, "last_search_counters", {}),
             "manifests": list_manifests(self.paths.root),
         }
 

@@ -74,18 +74,21 @@ def append_documents(
             "refusing to append"
         )
 
-    # insert-dedup: drop docs whose identity key already exists (J2)
+    # insert-dedup (J2): drop docs whose identity key already exists, then
+    # dedup identity keys WITHIN the batch exactly like the first build
+    # does — deterministic keeper = smallest content_sha per key, fused
+    # into assign_doc_ids' range sort (a bare dropDuplicates picks an
+    # arbitrary row, so a replayed batch could mint a different forward-
+    # index row for the same key).
     key = list(cfg.id_cols)
-    fresh = new_docs.dropDuplicates(key).join(
-        existing.select(*key), on=key, how="left_anti"
-    )
+    fresh = new_docs.join(existing.select(*key), on=key, how="left_anti")
     if "doc_id" in fresh.columns:
         fresh = fresh.drop("doc_id")
-    fresh = assign_doc_ids(fresh, cfg.id_cols).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(base)
-    )
     if "content_sha" not in fresh.columns:
         fresh = fresh.withColumn("content_sha", F.sha2(F.col(cfg.content_col), 256))
+    fresh = assign_doc_ids(
+        fresh, cfg.id_cols, dedup_order_col="content_sha"
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(base))
     n_new = fresh.count()
     if n_new == 0:
         log("append: nothing new after dedup")

@@ -37,6 +37,7 @@ def streaming_dedup(
     stream: DataFrame,
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
     timeout: str = GroupStateTimeout.NoTimeout,
+    order_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Exactly-first delivery per key across micro-batches.
 
@@ -45,21 +46,44 @@ def streaming_dedup(
     column set), this keeps an explicit boolean per key in the state
     store, so the SECOND and later arrivals of a key are dropped even when
     they land many batches later. Output schema = input schema.
+
+    The representative row is DETERMINISTIC under replay: within the first
+    micro-batch that carries a key, the keeper is the row minimizing
+    ``order_cols`` (default: every sortable non-key column in schema
+    order), not partition arrival order — so checkpoint recovery replaying
+    a batch emits the identical row set.
     """
     out_schema = stream.schema
+    if order_cols is None:
+        sortable = {
+            "string", "long", "int", "short", "byte", "double", "float",
+            "boolean", "timestamp", "date", "decimal",
+        }
+        order_cols = tuple(
+            f.name
+            for f in stream.schema.fields
+            if f.name not in key_cols and f.dataType.typeName() in sortable
+        )
+    order = list(order_cols)
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             return  # key already emitted in an earlier batch: drop all
-        first: pd.DataFrame | None = None
+        best: pd.DataFrame | None = None
         for pdf in pdfs:
-            if len(pdf) and first is None:
-                first = pdf.iloc[[0]]
-        if first is not None:
+            if not len(pdf):
+                continue
+            cand = pdf.sort_values(order, kind="stable").iloc[[0]] if order else pdf.iloc[[0]]
+            if best is None:
+                best = cand
+            elif order:
+                both = pd.concat([best, cand], ignore_index=True)
+                best = both.sort_values(order, kind="stable").iloc[[0]]
+        if best is not None:
             state.update((True,))
-            yield first
+            yield best
 
     return stream.groupBy(*[F.col(c) for c in key_cols]).applyInPandasWithState(
         fn,
@@ -76,20 +100,31 @@ def windowed_event_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Tumbling event-time window counts with late-data handling: events
     older than the watermark are dropped and closed windows' state is
     reclaimed by the engine (scales to unbounded streams — state is
-    O(open windows x groups), never O(events))."""
+    O(open windows x groups), never O(events)).
+
+    ``value_col`` names the column summed alongside the count; pass
+    ``None`` (or a column absent from the stream) to emit counts only."""
+    if value_col is not None and value_col not in stream.columns:
+        value_col = None
+    aggs = [F.count(F.lit(1)).alias("n")]
+    out_vals = []
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+        out_vals.append(F.round("sum_value", 4).alias("sum_value"))
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("win"), *group_cols)
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .agg(*aggs)
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
             *group_cols,
             "n",
-            F.round("sum_value", 4).alias("sum_value"),
+            *out_vals,
         )
     )

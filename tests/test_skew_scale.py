@@ -120,7 +120,13 @@ def test_heavy_to_light_threshold_drift_keeps_postings(
     n_docs): its salted runs merge with df from the full dictionary and new
     light runs are re-salted, never dropped or double-served."""
     d = str(tmp_path / "drift")
-    low = replace(cfg, heavy_df_threshold=8)  # salts mid-frequency terms
+    # salts mid-frequency terms AT STAGE 2 (the drift scenario needs old
+    # salted runs ON DISK, i.e. the large-corpus sampled-detection path —
+    # small corpora now skip detection and salt only at merge, so force
+    # the detection branch with a zero floor + full sample)
+    low = replace(
+        cfg, heavy_df_threshold=8, heavy_sample_min_docs=0, heavy_sample_fraction=1.0
+    )
     build_index(spark, small_corpus, d, low, n_groups=2)
     # simulate the effective threshold drifting up to 200 (ratio thresholds
     # rise with n_docs): old salted runs remain on disk while the current

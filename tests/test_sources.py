@@ -69,3 +69,32 @@ def test_env_smoke_iceberg_probe(spark):
     assert _iceberg_available(spark) in (True, False)
     if os.environ.get("DAWNSEARCH_REQUIRE_ICEBERG"):
         assert _iceberg_available(spark)
+
+
+def test_iceberg_roundtrip_when_connector_present(spark, small_corpus, tmp_path):
+    """Connector-gated integration test (VERDICT r2 item 7): on a runtime
+    WITH the Iceberg jars, write a path-based (HadoopTables) Iceberg table,
+    read it back through read_documents (auto-detection), append, and pin
+    the pre-append snapshot — proving the iceberg branch end-to-end.
+    Skipped in this container (no jars); any jar-equipped runtime runs it."""
+    from dawnsearch_spark.sources.documents import _iceberg_available
+
+    if not _iceberg_available(spark):
+        pytest.skip("no Iceberg connector on the classpath (container limitation)")
+
+    t = str(tmp_path / "ice_tbl")
+    base = small_corpus.select("repo", "path", "commit", "lang", "content").limit(20)
+    base.write.format("iceberg").mode("overwrite").save(t)
+
+    got = read_documents(spark, t)  # auto-detects the metadata dir
+    assert got.count() == 20
+    assert set(got.columns) >= {"repo", "path", "commit", "lang", "content"}
+
+    snaps = spark.read.format("iceberg").load(t + "#snapshots").collect()
+    first_snapshot = min(int(r["snapshot_id"]) for r in snaps)
+
+    more = small_corpus.select("repo", "path", "commit", "lang", "content").limit(30)
+    more.write.format("iceberg").mode("append").save(t)
+    assert read_documents(spark, t).count() == 50
+    pinned = read_documents(spark, t, snapshot_id=first_snapshot)
+    assert pinned.count() == 20, "snapshot pin must serve the pre-append table"

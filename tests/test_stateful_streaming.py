@@ -120,3 +120,80 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
         }
     assert got[("2024-01-01 10:00:00", "click")] == (2, 3.0)
     assert ("2024-01-01 11:00:00", "view") in got
+
+
+def test_streaming_dedup_keeper_deterministic_on_replay(spark, tmp_path):
+    """Two rows of the SAME key inside one micro-batch: the emitted
+    representative must be the min-(order_cols) row, identically across
+    two independent runs of the same input (VERDICT r2 item 9 — replayed
+    batches must not emit a different keeper)."""
+    from dawnsearch_spark.streaming.stateful import streaming_dedup
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    batch = spark.createDataFrame(
+        [
+            ("r1", "a.py", "c1", "py", "zulu version"),
+            ("r1", "a.py", "c1", "py", "alpha version"),
+            ("r1", "b.py", "c1", "py", "bravo"),
+        ],
+        schema,
+    )
+    src = str(tmp_path / "in")
+    batch.repartition(3).write.parquet(src)  # spread across files/partitions
+
+    def run(tag: str) -> dict:
+        out = str(tmp_path / f"out_{tag}")
+        q = (
+            streaming_dedup(
+                spark.readStream.schema(schema).parquet(src),
+                order_cols=("content",),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {
+            (r["repo"], r["path"], r["commit"]): r["content"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    r1, r2 = run("one"), run("two")
+    assert r1 == r2, "replay emitted a different row set"
+    assert r1[("r1", "a.py", "c1")] == "alpha version", "min-order keeper"
+
+
+def test_windowed_counts_without_value_column(spark, tmp_path):
+    """ADVICE r2: a stream without a 'value' column must still aggregate
+    (counts only) instead of failing with AnalysisException."""
+    from dawnsearch_spark.streaming.stateful import windowed_event_counts
+
+    ev = spark.createDataFrame(
+        [
+            (1, "click", "2024-01-01 10:05:00"),
+            (2, "click", "2024-01-01 10:15:00"),
+            (3, "view", "2024-01-01 14:00:00"),
+        ],
+        "event_id long, event_type string, ts_s string",
+    ).selectExpr("event_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts")
+    src = str(tmp_path / "ev_nv")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, ts timestamp"
+    ).parquet(src)
+    out = str(tmp_path / "win_nv")
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_nv"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert "sum_value" not in got.columns
