@@ -522,6 +522,31 @@ def q_media_decode(spark, sf_dir):
     )
 
 
+def q_media_decode_png(spark, sf_dir):
+    """Compressed-format decode under the driver gate: same closed-form
+    pixel pattern as ``media_decode`` but PNG-encoded (stdlib-zlib inflate
+    + NumPy unfiltering in the decoder — no codec library), checked
+    against the identical first-principles oracle."""
+    from dawnsearch_spark.operators.multimodal import (
+        decode_image_stats,
+        synthesize_bmp_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    stats = decode_image_stats(
+        synthesize_bmp_media(docs, width=32, height=16, codec="png")
+    )
+    return stats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "corner_g",
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary media column -> vectorized per-byte
     features, emitted as scalar columns (driver-hashable) with a DuckDB
@@ -698,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
+        "media_decode_png": q_media_decode_png,
     }
 
 
@@ -813,7 +839,7 @@ def oracle_sql() -> dict[str, str]:
     toks = _tok_sql("text")
     ws = _WS_TOKS.format(col="text")
     stop_in = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
-    return {
+    out = {
         "doclen_stats": f"""
             WITH dl AS (SELECT len({toks})::BIGINT AS dl FROM documents)
             SELECT count(*) AS n_docs, sum(dl)::BIGINT AS total_tokens,
@@ -841,7 +867,9 @@ def oracle_sql() -> dict[str, str]:
         "wand_topk_dist": _bm25_sql(BM25_QUERY_2.split()),
         "media_features": _media_sql(),
         # decoded-image statistics recomputed from the synthesis formula:
-        # R=(id+x)%256, G=(2id+y)%256, B=(3id+x+y)%256 on a 32x16 canvas
+        # R=(id+x)%256, G=(2id+y)%256, B=(3id+x+y)%256 on a 32x16 canvas;
+        # the _png twin decodes the SAME pattern from zlib-compressed PNGs,
+        # so one oracle serves both (assigned after this dict literal)
         "media_decode": """
             SELECT doc_id, 32 AS width, 16 AS height,
                    round(list_aggregate(list_transform(range(0, 32),
@@ -1012,3 +1040,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents) WHERE rn = 1
         """,
     }
+    # the PNG variant decodes the same closed-form pattern, so the BMP
+    # oracle is its oracle too
+    out["media_decode_png"] = out["media_decode"]
+    return out

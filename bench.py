@@ -103,22 +103,29 @@ def main() -> None:
         extras["docs_indexed"] = n_docs
         extras["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
 
+        def _acc(total: dict, ctr: dict, keys: tuple) -> None:
+            for k in keys:
+                total[k] = total.get(k, 0) + int(ctr.get(k) or 0)
+            total.setdefault("paths", {})
+            p = ctr.get("path", "?")
+            total["paths"][p] = total["paths"].get(p, 0) + 1
+
+        _CTRS = (
+            "ranges_pruned",
+            "blocks_decoded",
+            "postings_scored",
+            "driver_postings_decoded",
+            "light_terms_overflow",
+        )
         engine = Engine(spark, idx_dir, cfg)
         qids = list(REFERENCE_QUERIES)[:10]
+        wand_ctr: dict = {}
         t0 = time.time()
         for qid in qids:
             engine.search(REFERENCE_QUERIES[qid])
+            _acc(wand_ctr, engine.last_search_counters, _CTRS)
         timings["wand_topk_avg"] = round((time.time() - t0) / len(qids), 3)
-        extras["wand_counters"] = {
-            k: engine.last_search_counters.get(k)
-            for k in (
-                "path",
-                "ranges_pruned",
-                "blocks_decoded",
-                "postings_scored",
-                "driver_postings_decoded",
-            )
-        }
+        extras["wand_counters"] = wand_ctr
 
         # distributed branch (round-2 gap: the sf0.1 index always fits the
         # driver fast path, so the fan-out latency was never measured):
@@ -129,20 +136,13 @@ def main() -> None:
         dist_engine = Engine(
             spark, idx_dir, _replace(cfg, max_driver_postings=1000)
         )
+        dist_ctr: dict = {}
         t0 = time.time()
         for qid in qids[:5]:
             dist_engine.search(REFERENCE_QUERIES[qid], max_driver_heavy_rows=0)
+            _acc(dist_ctr, dist_engine.last_search_counters, _CTRS)
         timings["wand_topk_dist_avg"] = round((time.time() - t0) / 5, 3)
-        extras["wand_dist_counters"] = {
-            k: dist_engine.last_search_counters.get(k)
-            for k in (
-                "path",
-                "light_terms_overflow",
-                "ranges_pruned",
-                "blocks_decoded",
-                "driver_postings_decoded",
-            )
-        }
+        extras["wand_dist_counters"] = dist_ctr
 
         timed("hydrated_search", lambda: engine.search_df("parse http request").collect())
     finally:

@@ -65,6 +65,14 @@ class EngineConfig:
     # can never accumulate hundreds of MB of driver NumPy. 2M postings
     # varbyte-decode to ~50 MB of int64 arrays.
     max_driver_postings: int = 2_000_000
+    # The Engine keeps the segment METADATA (term, range_id, df, n_docs,
+    # max_impact — no blobs) on the driver when the index's segment-row
+    # count fits this bound: the in-RAM term dictionary of a classical
+    # search engine. It removes the per-query metadata-planning job (the
+    # query then costs exactly ONE Spark job on the driver fast path).
+    # Indexes above the bound fall back to a column-pruned metadata
+    # collect per query. ~2M rows ≈ 150 MB of driver pandas.
+    max_driver_meta_rows: int = 2_000_000
     # The heavy-term set ships to stage-2 tasks as a Spark broadcast while
     # it is small; above this size the build falls back to the join-based
     # salting path (postings.with_salt, shuffle join — slower, unbounded).

@@ -411,7 +411,17 @@ def build_index(
             .union(runs_raw.filter(F.col("salt") >= 0).select("term"))
             .distinct()
         )
-        runs = reclassify_runs(runs_raw, split_terms, cfg)
+        # The reclassified relation is consumed three times below (light
+        # merge, salted-term semi-join, heavy merge); without a persist each
+        # consumer re-runs the reclassify mapInPandas (a Python stage) and
+        # re-scans the runs parquet. With detection skipped on small corpora
+        # reclassify carries ALL heavy terms, so the re-evaluation is no
+        # longer free.
+        from pyspark import StorageLevel
+
+        runs = reclassify_runs(runs_raw, split_terms, cfg).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         salted = runs.filter(F.col("salt") >= 0)
         light = merge_light_runs(
             runs.filter(F.col("salt") == -1), stats, cfg, cfg.build_partitions
@@ -435,6 +445,7 @@ def build_index(
             .partitionBy("bucket")
             .parquet(paths.segments)
         )
+        runs.unpersist()
         back = spark.read.parquet(paths.segments)
         agg = back.agg(
             F.count(F.lit(1)).alias("rows"),

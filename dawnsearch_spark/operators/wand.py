@@ -379,6 +379,7 @@ def search_index(
     seg_df=None,
     stats: CorpusStats | None = None,
     counters: dict | None = None,
+    meta_by_term: dict[str, list[dict]] | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for a query string or a {term: weight} bag.
 
@@ -417,7 +418,13 @@ def search_index(
     seg = seg_all.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
     # ---- metadata-only plan (column-pruned: no blobs leave the scan) ----
-    meta = seg.select("term", "range_id", "df", "n_docs", "max_impact").collect()
+    # ``meta_by_term`` (the Engine's driver-resident term dictionary)
+    # replaces the planning job entirely when the dictionary fits driver
+    # RAM; otherwise this is one cheap column-pruned collect.
+    if meta_by_term is not None:
+        meta = [m for t in terms for m in meta_by_term.get(t, ())]
+    else:
+        meta = seg.select("term", "range_id", "df", "n_docs", "max_impact").collect()
     light_meta = [r for r in meta if int(r["range_id"]) == -1]
     heavy_meta = [r for r in meta if int(r["range_id"]) >= 0]
     ctr["heavy_rows"] = len(heavy_meta)

@@ -36,6 +36,34 @@ class Engine:
         # cached segment relation: avoids per-query file listing + schema
         # inference (the dominant cost of small queries)
         self._segments = spark.read.parquet(self.paths.segments)
+        # driver-resident term dictionary (metadata only, no blobs): paid
+        # once here, it removes the per-query metadata-planning Spark job —
+        # the driver fast path is then exactly ONE job per search. Loaded
+        # only while the segment-row count fits max_driver_meta_rows; a
+        # bigger index falls back to a per-query column-pruned collect.
+        self._meta_by_term = self._load_meta()
+
+    def _load_meta(self) -> dict[str, list[dict]] | None:
+        from dawnsearch_spark.manifest import read_manifest
+
+        seg_m = read_manifest(self.paths.root, "segments") or {}
+        rows = seg_m.get("rows")
+        if rows is None or int(rows) > self.cfg.max_driver_meta_rows:
+            return None
+        by_term: dict[str, list[dict]] = {}
+        for r in self._segments.select(
+            "term", "range_id", "df", "n_docs", "max_impact"
+        ).collect():
+            by_term.setdefault(r["term"], []).append(
+                {
+                    "term": r["term"],
+                    "range_id": int(r["range_id"]),
+                    "df": int(r["df"]),
+                    "n_docs": int(r["n_docs"]),
+                    "max_impact": float(r["max_impact"]),
+                }
+            )
+        return by_term
 
     @classmethod
     def build(
@@ -61,6 +89,7 @@ class Engine:
         self.spark.catalog.refreshByPath(self.paths.documents)
         self.stats_ = load_stats(self.paths.root)
         self._segments = self.spark.read.parquet(self.paths.segments)
+        self._meta_by_term = self._load_meta()
         return self
 
     def documents(self) -> DataFrame:
@@ -89,6 +118,7 @@ class Engine:
             seg_df=self._segments,
             stats=self.stats_,
             counters=self.last_search_counters,
+            meta_by_term=self._meta_by_term,
         )
 
     def search_df(self, query: str | dict[str, int], k: int | None = None) -> DataFrame:
