@@ -188,27 +188,40 @@ def build_index(
                     docs = docs.withColumn(
                         "content_sha", F.sha2(F.col(cfg.content_col), 256)
                     )
+                # Pre-dedup source count only sizes the file layout: on a
+                # parquet source it is footer-metadata-only (sha and every
+                # other expression is pruned away).
+                n0 = source_docs.count()
                 # identity-key dedup on the FIRST build too, not only on
                 # appends (deterministic keeper = smallest content_sha per
-                # key), fused into the docID range-sort — zero extra shuffle
+                # key), fused into assign_doc_ids' Arrow pass — stage 0 has
+                # exactly ONE full-data shuffle (the docID range sort); the
+                # assigned output partitions are contiguous sorted doc_id
+                # ranges, so they are written as-is (no repartitionByRange
+                # before the write, no WindowExec hash exchange)
                 docs = assign_doc_ids(
-                    docs, cfg.id_cols, dedup_order_col="content_sha"
+                    docs,
+                    cfg.id_cols,
+                    parts=_doc_partitions(cfg, n_groups, n0),
+                    dedup_order_col="content_sha",
                 )
-            if "content_sha" not in docs.columns:
-                docs = docs.withColumn(
-                    "content_sha", F.sha2(F.col(cfg.content_col), 256)
+                docs.write.mode("overwrite").parquet(paths.documents)
+                # exact post-dedup count from parquet footers (metadata-only)
+                n = spark.read.parquet(paths.documents).count()
+            else:
+                if "content_sha" not in docs.columns:
+                    docs = docs.withColumn(
+                        "content_sha", F.sha2(F.col(cfg.content_col), 256)
+                    )
+                n = docs.count()
+                (
+                    docs.repartitionByRange(
+                        _doc_partitions(cfg, n_groups, n), "doc_id"
+                    )
+                    .sortWithinPartitions("doc_id")
+                    .write.mode("overwrite")
+                    .parquet(paths.documents)
                 )
-            # count BEFORE the write (assign_doc_ids persists its shuffled
-            # intermediate, so this materializes it once and the write
-            # reuses it) — the count both sizes the file layout and
-            # replaces a post-write recount job
-            n = docs.count()
-            (
-                docs.repartitionByRange(_doc_partitions(cfg, n_groups, n), "doc_id")
-                .sortWithinPartitions("doc_id")
-                .write.mode("overwrite")
-                .parquet(paths.documents)
-            )
             write_manifest(
                 paths.root,
                 "documents",

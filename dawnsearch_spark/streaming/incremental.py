@@ -94,9 +94,9 @@ def append_documents(
         log("append: nothing new after dedup")
         return {"appended": 0, "n_docs": n_existing}
     _invalidate(paths.root, ["stats", "segments", "documents"])
-    fresh.select(*existing.columns).repartitionByRange(
-        max(1, n_groups), "doc_id"
-    ).sortWithinPartitions("doc_id").write.mode("append").parquet(paths.documents)
+    # assign_doc_ids output partitions are already contiguous sorted doc_id
+    # ranges — append them as-is (no extra repartitionByRange shuffle)
+    fresh.select(*existing.columns).write.mode("append").parquet(paths.documents)
     from dawnsearch_spark.manifest import config_fingerprint
 
     fp = config_fingerprint(cfg)
