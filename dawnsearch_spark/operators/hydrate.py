@@ -23,6 +23,7 @@ def hydrate_topk(
     documents: DataFrame,
     cfg: EngineConfig,
     verify_sha: bool = True,
+    doc_ids: list[int] | None = None,
 ) -> DataFrame:
     """Join (doc_id, score) against documents; returns ranked result rows.
 
@@ -32,6 +33,13 @@ def hydrate_topk(
     sha256 + snippet projections are computed on the k joined rows only —
     projecting below the join would hash/truncate the full corpus per query
     (full-corpus crypto belongs to ``verify_corpus``, not the search path).
+
+    ``doc_ids`` (the k result ids, when the caller already holds them on
+    the driver) becomes an ``IN`` predicate pushed into the documents scan:
+    the forward index is written as contiguous doc_id ranges, so parquet
+    row-group statistics skip every file/row-group outside the k ids — the
+    reference's per-id point lookup (search_provider.rs:218-240) instead
+    of a full table scan feeding the join.
     """
     cols = [c for c in ("repo", "path", "commit", "lang") if c in documents.columns]
     sel = documents.select(
@@ -40,6 +48,8 @@ def hydrate_topk(
         cfg.content_col,
         *(["content_sha"] if "content_sha" in documents.columns else []),
     )
+    if doc_ids is not None:
+        sel = sel.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
     out = sel.join(F.broadcast(topk), "doc_id", "inner")
     if verify_sha and "content_sha" in documents.columns:
         out = out.withColumn(

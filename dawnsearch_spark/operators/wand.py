@@ -417,14 +417,40 @@ def search_index(
     seg_all = seg_df if seg_df is not None else spark.read.parquet(paths.segments)
     seg = seg_all.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
 
+    from dawnsearch_spark.operators.segment_reader import (
+        META_COLUMNS,
+        read_segment_rows,
+    )
+
+    def _fetch(columns=None, range_id=None, only_terms=None) -> list[dict]:
+        """Pruned segment rows as plain dicts. Serving fast path: a direct
+        pyarrow read of the pruned bucket files on the driver (reference
+        S7 — in-process segment scan, document_embeddings.rs:17-54); falls
+        back to a Spark collect job when the segment directory is not
+        driver-local (e.g. object storage)."""
+        want = terms if only_terms is None else sorted(only_terms)
+        rows = read_segment_rows(
+            paths.segments, buckets, want, columns=columns, range_id=range_id
+        )
+        if rows is not None:
+            return rows
+        q = seg if only_terms is None else seg_all.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(want)
+        )
+        if range_id is not None:
+            q = q.filter(F.col("range_id") == range_id)
+        if columns is not None:
+            q = q.select(*columns)
+        return [r.asDict() for r in q.collect()]
+
     # ---- metadata-only plan (column-pruned: no blobs leave the scan) ----
     # ``meta_by_term`` (the Engine's driver-resident term dictionary)
-    # replaces the planning job entirely when the dictionary fits driver
-    # RAM; otherwise this is one cheap column-pruned collect.
+    # replaces the planning read entirely when the dictionary fits driver
+    # RAM; otherwise this is one cheap column-pruned fetch.
     if meta_by_term is not None:
         meta = [m for t in terms for m in meta_by_term.get(t, ())]
     else:
-        meta = seg.select("term", "range_id", "df", "n_docs", "max_impact").collect()
+        meta = _fetch(columns=META_COLUMNS)
     light_meta = [r for r in meta if int(r["range_id"]) == -1]
     heavy_meta = [r for r in meta if int(r["range_id"]) >= 0]
     ctr["heavy_rows"] = len(heavy_meta)
@@ -476,7 +502,7 @@ def search_index(
 
     if not heavy_meta and not overflow_terms:
         ctr["path"] = "light_only"
-        lights = [_decode_light(r) for r in seg.filter(F.col("range_id") == -1).collect()]
+        lights = [_decode_light(r) for r in _fetch(range_id=-1)]
         ldocs, lscores, _ = _light_pass(lights)
         return _topk_merge(ldocs, lscores, k)[:k_out]
 
@@ -487,17 +513,17 @@ def search_index(
     ):
         # driver-side scoring (reference's local-search-first, E1 step 3):
         # overflow is empty so every matching row fits the budget — ONE
-        # collect covers the whole query
+        # pruned fetch covers the whole query
         ctr["path"] = "driver"
         ctr["driver_postings_decoded"] += heavy_postings
-        all_rows = seg.collect()
+        all_rows = _fetch()
         lights = [_decode_light(r) for r in all_rows if int(r["range_id"]) == -1]
         ldocs, lscores, theta0 = _light_pass(lights)
         heavy_rows = [r for r in all_rows if int(r["range_id"]) >= 0]
         if not heavy_rows:
             return _topk_merge(ldocs, lscores, k)[:k_out]
         scorer = make_range_scorer(lights, qmeta, theta0, k, stats, cfg)
-        result_pdf = scorer(pd.DataFrame([r.asDict() for r in heavy_rows]))
+        result_pdf = scorer(pd.DataFrame(heavy_rows))
         data = result_pdf[result_pdf["doc_id"] >= 0]
         summ = result_pdf[result_pdf["doc_id"] < 0]
         for key in _CTR_KEYS:
@@ -514,9 +540,7 @@ def search_index(
     if driver_terms:
         lights = [
             _decode_light(r)
-            for r in seg.filter(
-                (F.col("range_id") == -1) & F.col("term").isin(driver_terms)
-            ).collect()
+            for r in _fetch(range_id=-1, only_terms=driver_terms)
         ]
     ldocs, lscores, theta0 = _light_pass(lights)
     seed_docs = np.zeros(0, np.int64)
@@ -537,7 +561,7 @@ def search_index(
         best_rid = max(sorted(range_ub), key=lambda rid: range_ub[rid])
         if cum + range_postings[best_rid] <= budget:
             ctr["driver_postings_decoded"] += range_postings[best_rid]
-            seed_rows = seg.filter(F.col("range_id") == best_rid).collect()
+            seed_rows = _fetch(range_id=best_rid)
             seed_dict = {r["term"]: _row_to_dict(r) for r in seed_rows}
             seed_ctr = {key: 0 for key in _CTR_KEYS}
             seed_docs, seed_scores = _score_one_range(

@@ -36,6 +36,7 @@ class Engine:
         # cached segment relation: avoids per-query file listing + schema
         # inference (the dominant cost of small queries)
         self._segments = spark.read.parquet(self.paths.segments)
+        self._documents: DataFrame | None = None  # lazy cached relation
         # driver-resident term dictionary (metadata only, no blobs): paid
         # once here, it removes the per-query metadata-planning Spark job —
         # the driver fast path is then exactly ONE job per search. Loaded
@@ -50,10 +51,18 @@ class Engine:
         rows = seg_m.get("rows")
         if rows is None or int(rows) > self.cfg.max_driver_meta_rows:
             return None
+        from dawnsearch_spark.operators.segment_reader import (
+            META_COLUMNS,
+            read_segment_rows,
+        )
+
+        recs = read_segment_rows(self.paths.segments, columns=META_COLUMNS)
+        if recs is None:  # non-local segments: one column-pruned Spark job
+            recs = [
+                r.asDict() for r in self._segments.select(*META_COLUMNS).collect()
+            ]
         by_term: dict[str, list[dict]] = {}
-        for r in self._segments.select(
-            "term", "range_id", "df", "n_docs", "max_impact"
-        ).collect():
+        for r in recs:
             by_term.setdefault(r["term"], []).append(
                 {
                     "term": r["term"],
@@ -89,11 +98,14 @@ class Engine:
         self.spark.catalog.refreshByPath(self.paths.documents)
         self.stats_ = load_stats(self.paths.root)
         self._segments = self.spark.read.parquet(self.paths.segments)
+        self._documents = None
         self._meta_by_term = self._load_meta()
         return self
 
     def documents(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.documents)
+        if self._documents is None:
+            self._documents = self.spark.read.parquet(self.paths.documents)
+        return self._documents
 
     def search(
         self,
@@ -128,7 +140,11 @@ class Engine:
         topk = self.spark.createDataFrame(
             [(int(d), float(s)) for d, s in hits] or [], "doc_id long, score double"
         )
-        return hydrate_topk(topk, self.documents(), self.cfg)
+        # the k result ids are pushed into the documents scan (row-group
+        # pruning over the doc_id-ranged forward index — J1 point lookups)
+        return hydrate_topk(
+            topk, self.documents(), self.cfg, doc_ids=[d for d, _ in hits]
+        )
 
     def more_like(self, doc_id: int, top_m: int = 10, k: int | None = None):
         """E2: use a stored document's term bag as the query
