@@ -117,6 +117,14 @@ def main() -> None:
             "driver_postings_decoded",
             "light_terms_overflow",
         )
+        # per-job dispatch floor of this session (scheduler round-trip for
+        # a no-op job): the denominator for every sub-second latency below
+        # — on this host it swings 0.1-0.7s run to run
+        t0 = time.time()
+        for _ in range(5):
+            spark.range(1).count()
+        extras["job_floor_sec"] = round((time.time() - t0) / 5, 3)
+
         engine = Engine(spark, idx_dir, cfg)
         qids = list(REFERENCE_QUERIES)[:10]
         wand_ctr: dict = {}

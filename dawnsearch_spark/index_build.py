@@ -206,6 +206,11 @@ def build_index(
                     dedup_order_col="content_sha",
                 )
                 docs.write.mode("overwrite").parquet(paths.documents)
+                # the written parquet is now the source of truth — release
+                # the assignment shuffle's cached copy of the corpus
+                cached = getattr(docs, "_dawnsearch_persisted", None)
+                if cached is not None:
+                    cached.unpersist()
                 # exact post-dedup count from parquet footers (metadata-only)
                 n = spark.read.parquet(paths.documents).count()
             else:

@@ -111,4 +111,8 @@ def assign_doc_ids(
             counter += n
             yield out
 
-    return ranged.mapInPandas(gen, schema)
+    out = ranged.mapInPandas(gen, schema)
+    # handle for callers that materialize the result exactly once (e.g.
+    # the forward-index write) to release the cached shuffle afterwards
+    out._dawnsearch_persisted = ranged
+    return out

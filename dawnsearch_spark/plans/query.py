@@ -36,7 +36,9 @@ class Engine:
         # cached segment relation: avoids per-query file listing + schema
         # inference (the dominant cost of small queries)
         self._segments = spark.read.parquet(self.paths.segments)
-        self._documents: DataFrame | None = None  # lazy cached relation
+        # eager: file listing + schema read happen at boot (a serving
+        # engine warms its row store once), not inside the first query
+        self._documents: DataFrame | None = spark.read.parquet(self.paths.documents)
         # driver-resident term dictionary (metadata only, no blobs): paid
         # once here, it removes the per-query metadata-planning Spark job —
         # the driver fast path is then exactly ONE job per search. Loaded

@@ -86,9 +86,8 @@ def append_documents(
         fresh = fresh.drop("doc_id")
     if "content_sha" not in fresh.columns:
         fresh = fresh.withColumn("content_sha", F.sha2(F.col(cfg.content_col), 256))
-    fresh = assign_doc_ids(
-        fresh, cfg.id_cols, dedup_order_col="content_sha"
-    ).withColumn("doc_id", F.col("doc_id") + F.lit(base))
+    assigned = assign_doc_ids(fresh, cfg.id_cols, dedup_order_col="content_sha")
+    fresh = assigned.withColumn("doc_id", F.col("doc_id") + F.lit(base))
     n_new = fresh.count()
     if n_new == 0:
         log("append: nothing new after dedup")
@@ -97,6 +96,9 @@ def append_documents(
     # assign_doc_ids output partitions are already contiguous sorted doc_id
     # ranges — append them as-is (no extra repartitionByRange shuffle)
     fresh.select(*existing.columns).write.mode("append").parquet(paths.documents)
+    cached = getattr(assigned, "_dawnsearch_persisted", None)
+    if cached is not None:
+        cached.unpersist()
     from dawnsearch_spark.manifest import config_fingerprint
 
     fp = config_fingerprint(cfg)
