@@ -672,6 +672,53 @@ def q_wand_topk_dist(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_more_like(spark, sf_dir):
+    """E2 lifecycle under the driver gate (reference: MoreLikeSearch —
+    stored page -> its embedding -> re-enter search,
+    /root/reference/src/search/search_service.rs:105-124): fetch doc 7's
+    stored content from the forward index, take its top-5 TF terms as a
+    WEIGHTED query bag (qtf = term count, tie-break term asc), and answer
+    through the real segment/WAND engine. Oracle: the same weighted BM25
+    recomputed from first principles in DuckDB."""
+    from dawnsearch_spark.plans.query import Engine
+
+    root = _wand_index_root(spark, sf_dir)
+    hits = Engine(spark, root, _wand_cfg()).more_like(7, top_m=5)
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits] or [], "doc_id long, score double"
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _more_like_sql(src_doc: int = 7, top_m: int = 5, k: int = 10) -> str:
+    toks = _tok_sql("text")
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+bag AS (
+  SELECT term, count(*)::DOUBLE AS qtf FROM toks WHERE doc_id = {src_doc}
+  GROUP BY term ORDER BY qtf DESC, term LIMIT {top_m}
+),
+dl AS (SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT t.doc_id, t.term, count(*)::DOUBLE AS tf
+  FROM toks t JOIN bag USING (term)
+  GROUP BY t.doc_id, t.term
+),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( bag.qtf * ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+              * tf.tf * ({CFG.k1} + 1.0)
+              / (tf.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.dl / st.avgdl)) ) AS s
+  FROM tf JOIN bag USING (term) JOIN dfq USING (term)
+       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over sf0.001 documents, hydrated (E1)."""
     sf_dir = "/root/testdata/sf0.001"
@@ -694,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk_1": q_wand_topk_1,
         "wand_topk_2": q_wand_topk_2,
         "wand_topk_dist": q_wand_topk_dist,
+        "more_like": q_more_like,
         "filter_project": q_filter_project,
         "length_gate": q_length_gate,
         "hydration_join": q_hydration_join,
@@ -865,6 +913,7 @@ def oracle_sql() -> dict[str, str]:
         "wand_topk_1": _bm25_sql(BM25_QUERY_1.split()),
         "wand_topk_2": _bm25_sql(BM25_QUERY_2.split()),
         "wand_topk_dist": _bm25_sql(BM25_QUERY_2.split()),
+        "more_like": _more_like_sql(),
         "media_features": _media_sql(),
         # decoded-image statistics recomputed from the synthesis formula:
         # R=(id+x)%256, G=(2id+y)%256, B=(3id+x+y)%256 on a 32x16 canvas;
