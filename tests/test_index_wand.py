@@ -176,3 +176,51 @@ def test_group_count_invariance(spark, small_corpus, cfg, tmp_path, oracle_input
         ]
         got = [(d_, round(s, 9)) for d_, s in e2.search(query)]
         assert got == want
+
+
+def test_segment_reader_matches_spark_collect(spark, index_dir, cfg):
+    """The pyarrow serving-path reader returns exactly the rows the Spark
+    collect would (same pruning semantics), and politely declines
+    non-local locations so callers fall back to Spark."""
+    from dawnsearch_spark.index_build import IndexPaths
+    from dawnsearch_spark.operators.segment_reader import (
+        META_COLUMNS,
+        read_segment_rows,
+    )
+    from dawnsearch_spark.operators.wand import _term_bucket
+
+    seg_dir = IndexPaths(index_dir).segments
+    terms = ["http", "request", "parse"]
+    buckets = sorted({_term_bucket(t, cfg.num_term_buckets) for t in terms})
+    local = read_segment_rows(seg_dir, buckets, terms, columns=META_COLUMNS)
+    assert local is not None
+    spark_rows = [
+        r.asDict()
+        for r in spark.read.parquet(seg_dir)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select(*META_COLUMNS)
+        .collect()
+    ]
+    key = lambda r: (r["term"], r["range_id"])
+    assert sorted(local, key=key) == sorted(spark_rows, key=key)
+    assert len(local) > 0
+
+    light = read_segment_rows(seg_dir, buckets, terms, range_id=-1)
+    assert all(r["range_id"] == -1 for r in light)
+    assert {r["term"] for r in light} <= set(terms)
+
+    assert read_segment_rows("s3://bucket/segments") is None
+    assert read_segment_rows(seg_dir + "/does-not-exist") is None
+
+
+def test_search_without_driver_meta_dictionary(spark, index_dir, cfg):
+    """max_driver_meta_rows=0 disables the Engine's driver-resident term
+    dictionary; queries must plan via the per-query metadata fetch and
+    stay rank-identical."""
+    from dataclasses import replace
+
+    eng = Engine(spark, index_dir, cfg)
+    no_dict = Engine(spark, index_dir, replace(cfg, max_driver_meta_rows=0))
+    assert no_dict._meta_by_term is None and eng._meta_by_term is not None
+    for q in ["parse http request", "binary tree search"]:
+        assert no_dict.search(q) == eng.search(q)
