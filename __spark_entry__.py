@@ -356,6 +356,18 @@ def q_shingle_count(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Training-data decontamination: every 50th doc plays the benchmark
+    suite; the rest of the corpus is flagged by distinct shared 3-gram
+    shingles (broadcast benchmark shingle set, no corpus shuffle)."""
+    from dawnsearch_spark.operators.dedup import benchmark_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return benchmark_contamination(corpus, bench, col="text", n=3)
+
+
 def q_lang_token_stats(spark, sf_dir):
     """Per-lang token statistics (A3 counters analog)."""
     docs = _t(spark, sf_dir, "documents")
@@ -759,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "shingle_count": q_shingle_count,
+        "decontaminate": q_decontaminate,
         "lang_token_stats": q_lang_token_stats,
         "sha_integrity": q_sha_integrity,
         "capacity_guard": q_capacity_guard,
@@ -1026,6 +1039,26 @@ def oracle_sql() -> dict[str, str]:
                    round(0.7 * ar + 0.3 * least(1.0, sr * 5.0), 6) AS quality,
                    CASE WHEN sr >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess
             FROM feat
+        """,
+        "decontaminate": f"""
+            WITH sh AS (
+              SELECT doc_id, list_sort(list_distinct(
+                       list_transform(range(1, len({ws}) - 1),
+                         i -> {ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2])
+                     )) AS s
+              FROM documents WHERE len({ws}) >= 3),
+            bench AS (
+              SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 50 = 0),
+            corpus AS (
+              SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 50 <> 0),
+            hits AS (
+              SELECT c.doc_id, count(*)::BIGINT AS overlap_shingles
+              FROM corpus c JOIN bench USING (shingle) GROUP BY c.doc_id)
+            SELECT d.doc_id,
+                   coalesce(h.overlap_shingles, 0)::BIGINT AS overlap_shingles,
+                   (coalesce(h.overlap_shingles, 0) >= 1)::INT AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
         """,
         "jaccard_pairs": f"""
             WITH sh AS (

@@ -126,6 +126,50 @@ def dedup_exact(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> Dat
     return df.join(keep.select(id_col), id_col, "left_semi")
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Training-data decontamination: per-document count of distinct
+    n-word shingles shared with ANY benchmark text, plus a contaminated
+    flag (overlap >= ``min_overlap``).
+
+    Spark shape (100-TB thinking): the benchmark suite is tiny next to the
+    corpus, so its distinct shingles are BROADCAST; the corpus explodes
+    its shingles once and probes the broadcast hash set — no shuffle of
+    the corpus, all expressions native Columns (whole-stage codegen).
+    Documents shorter than one shingle emit overlap 0, not nothing.
+    """
+    bench = benchmark.select(
+        F.explode(word_shingles(col, n)).alias("shingle")
+    ).distinct()
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(col, n)).alias("shingle")
+    )
+    # per-doc shingles are already distinct (word_shingles dedups), so
+    # count(*) after the semi-ish inner join = distinct shared shingles
+    hits = (
+        doc_sh.join(F.broadcast(bench), "shingle", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap_shingles"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .withColumn(
+            "overlap_shingles", F.coalesce(F.col("overlap_shingles"), F.lit(0))
+        )
+        .withColumn(
+            "contaminated",
+            (F.col("overlap_shingles") >= F.lit(min_overlap)).cast("int"),
+        )
+    )
+
+
 # ---------- shingles + n-gram Jaccard ----------
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
