@@ -432,3 +432,28 @@ def test_decode_stats_handles_png(spark):
         img = decode_png(payload)
         assert got[i]["corner_g"] == int(img[0, 0, 1])
         assert abs(got[i]["mean_r"] - img.reshape(-1, 3)[:, 0].mean()) < 1e-9
+
+
+def test_benchmark_contamination_semantics(spark):
+    from dawnsearch_spark.operators.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix the quick brown fox jumps somewhere else"),  # 3 shared
+            (2, "completely unrelated words here that match nothing"),
+            (3, "too short"),  # < n words -> 0, still emitted
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["overlap_shingles"], r["contaminated"])
+        for r in benchmark_contamination(corpus, bench, n=3).collect()
+    }
+    # doc 1 shares "the quick brown", "quick brown fox", "brown fox jumps"
+    assert got[1] == (3, 1)
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)

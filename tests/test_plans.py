@@ -94,3 +94,31 @@ def test_events_window_single_shuffle(spark):
     plan = _plan(q)
     assert "hashpartitioning(user_id" in plan
     assert "SinglePartition" not in plan
+
+
+def test_contamination_broadcasts_benchmark_not_corpus(spark):
+    from dawnsearch_spark.operators.dedup import benchmark_contamination
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = _plan(benchmark_contamination(corpus, bench))
+    # the benchmark shingle set broadcasts; the corpus is never exchanged
+    # for the probe join
+    assert "BroadcastHashJoin" in plan and "BroadcastExchange" in plan
+
+
+def test_hydration_pushes_result_ids_into_the_scan(spark, cfg):
+    from dawnsearch_spark.operators.hydrate import hydrate_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumnRenamed(
+        "text", "content"
+    )
+    topk = spark.createDataFrame(
+        [(3, 1.5), (7, 1.2)], "doc_id long, score double"
+    )
+    plan = _plan(hydrate_topk(topk, docs, cfg, doc_ids=[3, 7]))
+    # the k ids reach the documents scan as a pushed In filter
+    # (row-group pruning over the doc_id-ranged forward index)
+    pushed = plan.split("PushedFilters")[1][:300] if "PushedFilters" in plan else ""
+    assert "In(doc_id" in pushed or "EqualTo(doc_id" in pushed, plan[:1500]
