@@ -368,6 +368,54 @@ def q_decontaminate(spark, sf_dir):
     return benchmark_contamination(corpus, bench, col="text", n=3)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """ST1 under the driver gate: a REAL Structured Streaming run.
+    Three overlapping parquet 'arrival' batches ([0,100), [50,150),
+    [100,200)) flow through a file source one file per micro-batch into
+    ``streaming_dedup`` (applyInPandasWithState, exactly-first per key —
+    the reference's insert-dedup as a streaming operator,
+    search_provider.rs:253-263). Duplicate arrivals are byte-identical
+    rows, so the surviving set is batch-order independent and the DuckDB
+    oracle is a plain DISTINCT range scan: 300 arrivals in, one row per
+    doc_id out."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dawnsearch_spark.streaming.stateful import streaming_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    work = tempfile.mkdtemp(prefix=f"dawnsearch_stream_{uuid.uuid4().hex[:8]}_")
+    try:
+        src = os.path.join(work, "incoming")
+        os.makedirs(src)
+        for i, (lo, hi) in enumerate([(0, 100), (50, 150), (100, 200)]):
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.parquet(os.path.join(src, f"batch={i}"))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        out = os.path.join(work, "out")
+        q = (
+            streaming_dedup(stream, key_cols=("doc_id",), order_cols=("lang", "n_chars"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # materialize driver-side so the temp dir can be removed
+        rows = spark.read.parquet(out).collect()
+        return spark.createDataFrame(rows, docs.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_lang_token_stats(spark, sf_dir):
     """Per-lang token statistics (A3 counters analog)."""
     docs = _t(spark, sf_dir, "documents")
@@ -772,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "shingle_count": q_shingle_count,
         "decontaminate": q_decontaminate,
+        "stream_dedup": q_stream_dedup,
         "lang_token_stats": q_lang_token_stats,
         "sha_integrity": q_sha_integrity,
         "capacity_guard": q_capacity_guard,
@@ -1039,6 +1088,11 @@ def oracle_sql() -> dict[str, str]:
                    round(0.7 * ar + 0.3 * least(1.0, sr * 5.0), 6) AS quality,
                    CASE WHEN sr >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess
             FROM feat
+        """,
+        # the streaming run's duplicate arrivals are byte-identical rows,
+        # so exactly-first-per-key == DISTINCT over the arrival range
+        "stream_dedup": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 200
         """,
         "decontaminate": f"""
             WITH sh AS (
