@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dawnsearch_spark.functions.codec import varbyte_encode
+
 
 RUN_SCHEMA = (
     "term string, salt long, n_docs long, tf_sum long, "
@@ -58,17 +58,6 @@ def with_salt(
             F.lit(-1)
         ),
     ).drop("_heavy")
-
-
-def _encode_run(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> tuple:
-    gaps = np.empty(len(doc_ids), np.uint64)
-    gaps[0] = doc_ids[0]
-    gaps[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
-    return (
-        varbyte_encode(gaps),
-        varbyte_encode(tfs.astype(np.uint64)),
-        varbyte_encode(dls.astype(np.uint64)),
-    )
 
 
 def _pack_complete(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -174,32 +163,66 @@ def reclassify_runs(runs: DataFrame, heavy_terms: DataFrame, cfg) -> DataFrame:
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized re-encode: per row only the (unavoidable) varbyte
+        # decode loops; every output slice of the whole batch is encoded
+        # in ONE varbyte call per stream and sliced by byte offsets —
+        # the _pack_complete pattern. Matters because the small-corpus
+        # build path (detection skipped) routes ALL heavy terms through
+        # here, and per-slice NumPy calls cost ~50x their vector form.
+        from dawnsearch_spark.functions.codec import varbyte_encode_with_sizes
+
         for pdf in batches:
-            rows = {c: [] for c in out_cols}
+            if not len(pdf):
+                continue
+            docs_l, tfs_l, dls_l = [], [], []
+            row_starts = [0]
             for r in pdf.itertuples(index=False):
                 n = int(r.n_docs)
                 gaps = varbyte_decode(r.doc_blob, n)
-                docs = np.cumsum(gaps.astype(np.int64))
-                tfs = varbyte_decode(r.tf_blob, n).astype(np.int64)
-                dls = varbyte_decode(r.dl_blob, n).astype(np.int64)
-                ranges = docs // range_size
-                bounds = np.concatenate(
-                    ([0], np.flatnonzero(ranges[1:] != ranges[:-1]) + 1, [n])
-                )
-                for s, e in zip(bounds[:-1], bounds[1:]):
-                    d, t, l = _encode_run(docs[s:e], tfs[s:e], dls[s:e])
-                    rows["term"].append(r.term)
-                    rows["salt"].append(int(ranges[s]))
-                    rows["n_docs"].append(int(e - s))
-                    if "tf_sum" in rows:
-                        rows["tf_sum"].append(int(tfs[s:e].sum()))
-                    rows["doc_blob"].append(d)
-                    rows["tf_blob"].append(t)
-                    rows["dl_blob"].append(l)
-                    if "group" in rows:
-                        rows["group"].append(int(r.group))
-            if rows["term"]:
-                yield pd.DataFrame(rows)
+                docs_l.append(np.cumsum(gaps.astype(np.int64)))
+                tfs_l.append(varbyte_decode(r.tf_blob, n).astype(np.int64))
+                dls_l.append(varbyte_decode(r.dl_blob, n).astype(np.int64))
+                row_starts.append(row_starts[-1] + n)
+            docs = np.concatenate(docs_l)
+            tfs = np.concatenate(tfs_l)
+            dls = np.concatenate(dls_l)
+            total = len(docs)
+            row_starts = np.asarray(row_starts, np.int64)
+            # slice bounds = row starts ∪ range changes within a row
+            ranges = docs // range_size
+            change = np.flatnonzero(ranges[1:] != ranges[:-1]) + 1
+            bounds = np.unique(np.concatenate((row_starts, change)))
+            if bounds[-1] != total:
+                bounds = np.concatenate((bounds, [total]))
+            starts, ends = bounds[:-1], bounds[1:]
+            # first posting of each slice stores the absolute docID
+            gaps_all = np.empty(total, np.uint64)
+            gaps_all[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
+            gaps_all[starts] = docs[starts].astype(np.uint64)
+            doc_all, nb_d = varbyte_encode_with_sizes(gaps_all)
+            tf_all, nb_t = varbyte_encode_with_sizes(tfs.astype(np.uint64))
+            dl_all, nb_l = varbyte_encode_with_sizes(dls.astype(np.uint64))
+
+            def offs(nb: np.ndarray) -> np.ndarray:
+                c = np.zeros(total + 1, np.int64)
+                np.cumsum(nb, out=c[1:])
+                return c[bounds]
+
+            od, ot, ol = offs(nb_d), offs(nb_t), offs(nb_l)
+            src_row = np.searchsorted(row_starts, starts, side="right") - 1
+            out = {
+                "term": pdf["term"].to_numpy()[src_row],
+                "salt": ranges[starts].astype(np.int64),
+                "n_docs": (ends - starts).astype(np.int64),
+                "doc_blob": [doc_all[od[i]: od[i + 1]] for i in range(len(starts))],
+                "tf_blob": [tf_all[ot[i]: ot[i + 1]] for i in range(len(starts))],
+                "dl_blob": [dl_all[ol[i]: ol[i + 1]] for i in range(len(starts))],
+            }
+            if "tf_sum" in out_cols:
+                out["tf_sum"] = np.add.reduceat(tfs, starts).astype(np.int64)
+            if "group" in out_cols:
+                out["group"] = pdf["group"].to_numpy()[src_row]
+            yield pd.DataFrame({c: out[c] for c in out_cols})
 
     return ok.unionByName(to_split.mapInPandas(gen, schema))
 
