@@ -19,10 +19,13 @@ Reference semantics being preserved (SURVEY.md §2.5 T1/T4, §4 P1/P2):
   complete — results are exact, verified rank-identical to the full-scan
   oracle.
 
-Execution shape (one pruned segment scan + one tiny collect):
-  query terms -> bucket + term predicate pushdown into the segment parquet
-  -> metadata-only plan collect (term, range_id, df, n_docs, max_impact —
-     column-pruned, no blobs)
+Execution shape (serving fast path: ZERO Spark jobs; distributed path:
+one pruned scan job + a tiny collect):
+  query terms -> bucket + term pruning; metadata comes from the Engine's
+     driver-resident term dictionary, else a column-pruned fetch
+  -> pruned segment rows read driver-side via pyarrow when the segment
+     dir is local (reference S7 in-process segment scan,
+     document_embeddings.rs:17-54); Spark collect for object-store dirs
   -> light rows decoded on the driver, smallest-df first, under a hard
      ``max_driver_postings`` budget; overflow light lists are RANGE-SPLIT
      on the executors (mapInPandas decode -> per-doc-range re-pack) into
