@@ -459,7 +459,14 @@ def build_index(
         (
             seg.repartition("bucket")
             .sortWithinPartitions("term", "range_id")
+            # term-sorted files + small row groups = every row group's
+            # (min_term, max_term) stats span a narrow slice, so a
+            # query-term filter prunes to 1-2 row groups per bucket —
+            # parquet footers become the term directory pages of a
+            # classical inverted index (drives both the pyarrow serving
+            # reads and Spark's scan-level row-group skipping)
             .write.mode("overwrite")
+            .option("parquet.block.size", str(1 << 20))
             .partitionBy("bucket")
             .parquet(paths.segments)
         )
