@@ -416,6 +416,15 @@ def q_stream_dedup(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup-line / dup-word
+    ratios) — the classic low-quality-strata filter of a training-data
+    pipeline; native array exprs, no shuffle."""
+    from dawnsearch_spark.operators.text_analysis import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), col="text")
+
+
 def q_lang_token_stats(spark, sf_dir):
     """Per-lang token statistics (A3 counters analog)."""
     docs = _t(spark, sf_dir, "documents")
@@ -821,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_count": q_shingle_count,
         "decontaminate": q_decontaminate,
         "stream_dedup": q_stream_dedup,
+        "repetition": q_repetition,
         "lang_token_stats": q_lang_token_stats,
         "sha_integrity": q_sha_integrity,
         "capacity_guard": q_capacity_guard,
@@ -1088,6 +1098,25 @@ def oracle_sql() -> dict[str, str]:
                    round(0.7 * ar + 0.3 * least(1.0, sr * 5.0), 6) AS quality,
                    CASE WHEN sr >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess
             FROM feat
+        """,
+        "repetition": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(list_transform(str_split(text, chr(10)),
+                                                l -> trim(l)), l -> l <> '') AS lines,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                 w -> w <> '') AS words
+              FROM documents)
+            SELECT doc_id,
+                   len(lines)::BIGINT AS n_lines,
+                   round(CASE WHEN len(lines) = 0 THEN 0.0
+                         ELSE (len(lines) - len(list_distinct(lines)))::DOUBLE
+                              / len(lines) END, 6) AS dup_line_ratio,
+                   len(words)::BIGINT AS n_words,
+                   round(CASE WHEN len(words) = 0 THEN 0.0
+                         ELSE (len(words) - len(list_distinct(words)))::DOUBLE
+                              / len(words) END, 6) AS dup_word_ratio
+            FROM base
         """,
         # the streaming run's duplicate arrivals are byte-identical rows,
         # so exactly-first-per-key == DISTINCT over the arrival range

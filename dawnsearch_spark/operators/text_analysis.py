@@ -123,6 +123,40 @@ def ngram_lang_guess(col: Column | str, min_chars: int = 15) -> Column:
     )
 
 
+def repetition_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals, all native Column exprs:
+
+    * ``dup_line_ratio`` — fraction of non-blank lines that are repeats of
+      an earlier line (boilerplate headers, generated code, spam padding);
+    * ``dup_word_ratio`` — fraction of whitespace tokens that repeat.
+
+    Documents heavy in either are the classic low-quality strata a
+    training-data pipeline down-weights or drops; both ratios are exact
+    and cheap (one pass, array ops inside codegen — no shuffle, no UDF).
+    """
+    c = F.col(col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    words = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+
+    def dup_ratio(arr: Column, n: Column) -> Column:
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            (n - F.size(F.array_distinct(arr))).cast("double") / n.cast("double")
+        )
+
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(dup_ratio(lines, n_lines), 6).alias("dup_line_ratio"),
+        n_words.cast("long").alias("n_words"),
+        F.round(dup_ratio(words, n_words), 6).alias("dup_word_ratio"),
+    )
+
+
 def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     """All features at once (single scan, codegen'd)."""
     return (
