@@ -176,6 +176,8 @@ def main() -> None:
         "fingerprints",
         "cosine_topk",
         "sha_integrity",
+        "repetition",
+        "decontaminate",
     ]:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).collect())
 

@@ -144,11 +144,17 @@ def benchmark_contamination(
     the corpus, all expressions native Columns (whole-stage codegen).
     Documents shorter than one shingle emit overlap 0, not nothing.
     """
-    bench = benchmark.select(
-        F.explode(word_shingles(col, n)).alias("shingle")
-    ).distinct()
-    doc_sh = docs.select(
-        F.col(id_col), F.explode(word_shingles(col, n)).alias("shingle")
+    # shingling runs in the Arrow pass (shingle_sets), not the JVM
+    # transform/slice chain: the JVM formulation is O(len^2)-ish per doc
+    # (array slice per element) and allocation-bound on top (measured 9.2s
+    # vs ~2s at sf0.1 for this op alone)
+    bench = (
+        shingle_sets(benchmark, col, id_col, n)
+        .select(F.explode("_sh").alias("shingle"))
+        .distinct()
+    )
+    doc_sh = shingle_sets(docs, col, id_col, n).select(
+        F.col("_id").alias(id_col), F.explode("_sh").alias("shingle")
     )
     # per-doc shingles are already distinct (word_shingles dedups), so
     # count(*) after the semi-ish inner join = distinct shared shingles
