@@ -13,7 +13,16 @@ reference repo's observable behavior. No code is copied from the reference;
 docstrings cite reference file:line so parity can be checked.
 """
 
-from dawnsearch_spark.config import EngineConfig
+from dawnsearch_spark.config import EngineConfig, load_config
 
-__all__ = ["EngineConfig"]
+
+def __getattr__(name):  # lazy: avoid importing pyspark at package import
+    if name == "Engine":
+        from dawnsearch_spark.plans.query import Engine
+
+        return Engine
+    raise AttributeError(name)
+
+
+__all__ = ["EngineConfig", "load_config", "Engine"]
 __version__ = "0.1.0"
