@@ -417,6 +417,31 @@ def build_index(
 
     # ---- stage 3: merge runs -> block-max segments ----
     if not is_committed(paths.root, "segments", fp):
+        if not os.path.isdir(paths.runs):
+            # empty corpus: no runs were ever written. Commit a
+            # schema-bearing EMPTY segments parquet (non-partitioned — a
+            # partitionBy write of 0 rows leaves no schema to read back)
+            # so Engine boot and searches work and return no hits.
+            from dawnsearch_spark.operators.merge import SEGMENT_SCHEMA
+
+            spark.createDataFrame([], SEGMENT_SCHEMA).write.mode(
+                "overwrite"
+            ).parquet(paths.segments)
+            write_manifest(
+                paths.root,
+                "segments",
+                {"fingerprint": fp, "rows": 0, "postings": 0,
+                 "bytes": dir_bytes(paths.segments), "n_groups": actual_groups},
+            )
+            log("stage3 segments committed: 0 rows (empty corpus)")
+            return {
+                "n_docs": stats.n_docs,
+                "avgdl": stats.avgdl,
+                "n_groups": actual_groups,
+                "segment_rows": 0,
+                "postings": 0,
+                "index_bytes": dir_bytes(paths.root),
+            }
         runs_raw = spark.read.parquet(paths.runs)
         # A term is served EITHER as one light row or as range rows, never
         # both. The split set is therefore currently-heavy terms PLUS any

@@ -224,3 +224,27 @@ def test_search_without_driver_meta_dictionary(spark, index_dir, cfg):
     assert no_dict._meta_by_term is None and eng._meta_by_term is not None
     for q in ["parse http request", "binary tree search"]:
         assert no_dict.search(q) == eng.search(q)
+
+
+def test_empty_corpus_build_search_and_grow(spark, cfg, tmp_path):
+    """An empty source builds a valid (0-row, schema-bearing) index: the
+    Engine boots, searches return no hits, and a later append grows it
+    into a serving index (the reference's load-else-rebuild boot path must
+    not require a non-empty store, search_provider.rs:111-120)."""
+    from dawnsearch_spark.corpus import generate_corpus, with_content_sha
+    from dawnsearch_spark.streaming.incremental import append_documents
+
+    root = str(tmp_path / "empty_idx")
+    empty = with_content_sha(generate_corpus(spark, 5, seed=1)).filter(
+        "repo = 'nope'"
+    )
+    build_index(spark, empty, root, cfg, n_groups=1)
+    eng = Engine(spark, root, cfg)
+    assert eng.search("anything at all") == []
+    assert eng.stats()["n_docs"] == 0
+
+    more = with_content_sha(generate_corpus(spark, 200, seed=3))
+    r = append_documents(spark, root, more, cfg, n_groups=1)
+    assert r["appended"] == 200
+    eng.refresh()
+    assert len(eng.search("parse http request")) == 10
