@@ -877,7 +877,10 @@ def _minhash_sql() -> str:
                    FROM r a JOIN r b USING (band, bhash) WHERE a._id < b._id
                    UNION ALL
                    SELECT a._id, b._id FROM big a JOIN big b
-                     ON a.band = b.band AND a.bhash = b.bhash AND b.rn = a.rn + 1)),
+                     ON a.band = b.band AND a.bhash = b.bhash AND b.rn = a.rn + 1
+                   UNION ALL
+                   SELECT a._id, b._id FROM big a JOIN big b
+                     ON a.band = b.band AND a.bhash = b.bhash AND b.rn = a.rn + 2)),
         sh AS (SELECT * FROM read_parquet('{sh}')),
         sc AS (SELECT id_a, id_b,
                  round(len(list_intersect(sa._sh, sb._sh))::DOUBLE
@@ -914,7 +917,11 @@ def _simhash_sql(max_hamming: int = 3) -> str:
                    UNION ALL
                    SELECT a._id, bb._id, a.simhash, bb.simhash
                    FROM big a JOIN big bb
-                     ON a.band = bb.band AND a.bkey = bb.bkey AND bb.rn = a.rn + 1))
+                     ON a.band = bb.band AND a.bkey = bb.bkey AND bb.rn = a.rn + 1
+                   UNION ALL
+                   SELECT a._id, bb._id, a.simhash, bb.simhash
+                   FROM big a JOIN big bb
+                     ON a.band = bb.band AND a.bkey = bb.bkey AND bb.rn = a.rn + 2))
         SELECT id_a, id_b, bit_count(xor(ha, hb))::INT AS hamming
         FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
     """

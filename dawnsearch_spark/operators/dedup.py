@@ -62,13 +62,20 @@ def capped_pair_candidates(
     bucket-keyed relation (columns: ``_id``, *keys*, *extra_cols*).
 
     Skew-capped generation: buckets with <= ``cap`` members emit ALL pairs
-    (self-equi-join); larger buckets emit a SPANNING CHAIN of id-adjacent
-    pairs — O(B) pairs instead of O(B^2) — so a giant near-duplicate
-    cluster (boilerplate: the primary dedup target, which collides in
-    EVERY band and would otherwise oversize every one of its buckets)
-    stays fully reachable through verified links for connected-components
-    keeper selection, instead of silently emitting zero pairs. The chain
-    costs one window shuffle over only the oversized-bucket rows.
+    (self-equi-join); larger buckets emit a SPANNING MULTI-CHAIN of
+    id-ordered pairs at strides 1 AND 2 — O(2B) pairs instead of O(B^2) —
+    so a giant near-duplicate cluster (boilerplate: the primary dedup
+    target, which collides in EVERY band and would otherwise oversize
+    every one of its buckets) stays reachable through verified links for
+    connected-components keeper selection, instead of silently emitting
+    zero pairs. The stride-2 links make the component robust to any
+    SINGLE failed downstream verification (Jaccard threshold / hamming
+    cap): if the (i, i+1) link fails, (i-1, i+1) still bridges it.
+    Connectivity is guaranteed only up to one failed link per position —
+    two consecutive failed links can still split the component (the exact
+    guarantee needs all-pairs, which is what the cap exists to avoid).
+    The chain costs one window shuffle over only the oversized-bucket
+    rows.
     """
     from pyspark.sql import Window
 
@@ -92,17 +99,24 @@ def capped_pair_candidates(
 
     big_rows = rows.join(F.broadcast(big_keys), keys, "left_semi")
     w = Window.partitionBy(*keys).orderBy("_id")
-    chain = big_rows.withColumn("_prev_id", F.lag("_id").over(w))
-    for c in extra_cols:
-        chain = chain.withColumn(f"_prev_{c}", F.lag(c).over(w))
-    chain_cols = [
-        F.col("_prev_id").alias("id_a"),
-        F.col("_id").alias("id_b"),
-    ]
-    for c in extra_cols:
-        chain_cols.append(F.col(f"_prev_{c}").alias(f"{c}_a"))
-        chain_cols.append(F.col(c).alias(f"{c}_b"))
-    chain_pairs = chain.filter(F.col("_prev_id").isNotNull()).select(*chain_cols)
+    chain = big_rows
+    for stride in (1, 2):
+        chain = chain.withColumn(f"_prev{stride}_id", F.lag("_id", stride).over(w))
+        for c in extra_cols:
+            chain = chain.withColumn(f"_prev{stride}_{c}", F.lag(c, stride).over(w))
+    stride_pairs = []
+    for stride in (1, 2):
+        chain_cols = [
+            F.col(f"_prev{stride}_id").alias("id_a"),
+            F.col("_id").alias("id_b"),
+        ]
+        for c in extra_cols:
+            chain_cols.append(F.col(f"_prev{stride}_{c}").alias(f"{c}_a"))
+            chain_cols.append(F.col(c).alias(f"{c}_b"))
+        stride_pairs.append(
+            chain.filter(F.col(f"_prev{stride}_id").isNotNull()).select(*chain_cols)
+        )
+    chain_pairs = stride_pairs[0].unionByName(stride_pairs[1])
     return pairs.unionByName(chain_pairs).distinct()
 
 

@@ -38,6 +38,19 @@ from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.storagelevel import StorageLevel
 
 
+def _is_null(v) -> bool:
+    return v is None or (isinstance(v, float) and v != v)
+
+
+def _tuple_null_eq(a: tuple, b: tuple) -> bool:
+    """Element-wise equality treating null == null (NaN or None), matching
+    Spark's null-safe struct comparison in countDistinct."""
+    return all(
+        (_is_null(x) and _is_null(y)) or (not _is_null(x) and not _is_null(y) and x == y)
+        for x, y in zip(a, b)
+    )
+
+
 def assign_doc_ids(
     df: DataFrame,
     id_cols: tuple[str, ...],
@@ -98,9 +111,22 @@ def assign_doc_ids(
                 counter = offs[int(pdf["_pid"].iloc[0])]
             if dedup:
                 keys = pdf[ids]
-                same = (keys == keys.shift()).all(axis=1).to_numpy(copy=True)
-                if last_key is not None:
-                    same[0] = tuple(keys.iloc[0]) == last_key
+                # null-safe equality: the kept-row counts come from Spark's
+                # countDistinct over a struct, where NULL == NULL — the
+                # pandas comparison must agree or kept rows exceed counted
+                # rows and later partitions' doc_id offsets silently collide
+                prev = keys.shift()
+                same = (
+                    ((keys == prev) | (keys.isna() & prev.isna()))
+                    .all(axis=1)
+                    .to_numpy(copy=True)
+                )
+                # position 0's shift() "previous" is an artificial all-NaN
+                # row — it must only match the carried key from the prior
+                # Arrow batch, never a genuinely all-null first key
+                same[0] = last_key is not None and _tuple_null_eq(
+                    tuple(keys.iloc[0]), last_key
+                )
                 last_key = tuple(keys.iloc[-1])
                 if same.any():
                     pdf = pdf[~same]

@@ -187,8 +187,14 @@ def train_ivf_centroids(
         wi = 0
         for c in range(n_cells):
             if counts[c] == 0:
-                M[c] = Xn[worst[wi]]
-                wi += 1
+                if wi < len(worst):
+                    M[c] = Xn[worst[wi]]
+                    wi += 1
+                else:
+                    # more empty cells than sample points (tiny relation):
+                    # keep the cell at its current centroid instead of
+                    # indexing past the sample
+                    M[c] = C[c]
         nm = np.linalg.norm(M, axis=1, keepdims=True)
         nm[nm == 0] = 1.0
         C = M / nm

@@ -88,17 +88,22 @@ def append_documents(
         fresh = fresh.withColumn("content_sha", F.sha2(F.col(cfg.content_col), 256))
     assigned = assign_doc_ids(fresh, cfg.id_cols, dedup_order_col="content_sha")
     fresh = assigned.withColumn("doc_id", F.col("doc_id") + F.lit(base))
-    n_new = fresh.count()
-    if n_new == 0:
-        log("append: nothing new after dedup")
-        return {"appended": 0, "n_docs": n_existing}
-    _invalidate(paths.root, ["stats", "segments", "documents"])
-    # assign_doc_ids output partitions are already contiguous sorted doc_id
-    # ranges — append them as-is (no extra repartitionByRange shuffle)
-    fresh.select(*existing.columns).write.mode("append").parquet(paths.documents)
-    cached = getattr(assigned, "_dawnsearch_persisted", None)
-    if cached is not None:
-        cached.unpersist()
+    try:
+        n_new = fresh.count()
+        if n_new == 0:
+            log("append: nothing new after dedup")
+            return {"appended": 0, "n_docs": n_existing}
+        _invalidate(paths.root, ["stats", "segments", "documents"])
+        # assign_doc_ids output partitions are already contiguous sorted
+        # doc_id ranges — append them as-is (no extra repartitionByRange
+        # shuffle)
+        fresh.select(*existing.columns).write.mode("append").parquet(paths.documents)
+    finally:
+        # release the range-sort cache on BOTH exits — the n_new == 0 early
+        # return otherwise leaks one persisted corpus copy per no-op append
+        cached = getattr(assigned, "_dawnsearch_persisted", None)
+        if cached is not None:
+            cached.unpersist()
     from dawnsearch_spark.manifest import config_fingerprint
 
     fp = config_fingerprint(cfg)

@@ -457,3 +457,24 @@ def test_benchmark_contamination_semantics(spark):
     assert got[1] == (3, 1)
     assert got[2] == (0, 0)
     assert got[3] == (0, 0)
+
+
+def test_ivf_train_tiny_relation(spark):
+    """ADVICE r3: training on a relation with fewer vectors than n_cells
+    crashed with IndexError in the empty-cell reseed loop. Tiny embedding
+    tables must train (and search) fine."""
+    from dawnsearch_spark.operators.similarity import ivf_topk, train_ivf_centroids
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    C = train_ivf_centroids(df, n_cells=16)
+    assert C.shape == (16, 3)
+    assert np.all(np.isfinite(C))
+    # end-to-end search still works and returns the planted neighbor first
+    top = ivf_topk(df, [1.0, 0.0, 0.0], k=2, n_cells=16, nprobe=16).collect()
+    assert top and top[0]["vec_id"] in (0, 1)
