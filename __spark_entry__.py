@@ -593,9 +593,10 @@ def q_media_decode(spark, sf_dir):
 
 def q_media_decode_png(spark, sf_dir):
     """Compressed-format decode under the driver gate: same closed-form
-    pixel pattern as ``media_decode`` but PNG-encoded (stdlib-zlib inflate
-    + NumPy unfiltering in the decoder — no codec library), checked
-    against the identical first-principles oracle."""
+    pixel pattern as ``media_decode`` but PNG-encoded with PAETH filtering
+    (stdlib-zlib inflate + batch-vectorized NumPy unfiltering in the
+    decoder — no codec library), checked against the identical
+    first-principles oracle."""
     from dawnsearch_spark.operators.multimodal import (
         decode_image_stats,
         synthesize_bmp_media,

@@ -65,14 +65,30 @@ class EngineConfig:
     # can never accumulate hundreds of MB of driver NumPy. 2M postings
     # varbyte-decode to ~50 MB of int64 arrays.
     max_driver_postings: int = 2_000_000
-    # The Engine keeps the segment METADATA (term, range_id, df, n_docs,
-    # max_impact — no blobs) on the driver when the index's segment-row
-    # count fits this bound: the in-RAM term dictionary of a classical
-    # search engine. It removes the per-query metadata-planning job (the
-    # query then costs exactly ONE Spark job on the driver fast path).
-    # Indexes above the bound fall back to a column-pruned metadata
-    # collect per query. ~2M rows ≈ 150 MB of driver pandas.
+    # The Engine keeps the segment METADATA (term, range_id, n_docs,
+    # max_tf, min_dl — no blobs) on the driver when the index's
+    # segment-row count fits this bound: the in-RAM term dictionary of a
+    # classical search engine. It removes the per-query metadata-planning
+    # job (the query then costs exactly ONE Spark job on the driver fast
+    # path). Indexes above the bound fall back to a column-pruned
+    # metadata collect per query. The dictionary is COLUMNAR (one NumPy
+    # array per column + a term->slice index, plans/query.py TermMeta):
+    # 4 int64 columns = 32 B/row plus the unique-term strings, so 2M rows
+    # ≈ 70-120 MB of driver heap (measured via TermMeta.nbytes; the
+    # previous dict-of-dicts layout cost ~300+ B/row).
     max_driver_meta_rows: int = 2_000_000
+    # Bound (in POSTINGS) of the Engine's light-list LRU: decoded light
+    # posting lists for repeated serving terms stay resident between
+    # queries (the reference keeps its whole index in RAM between
+    # queries, search_provider.rs:111-120). 4M postings ≈ 100 MB of int64
+    # arrays. 0 disables the cache.
+    light_cache_postings: int = 4_000_000
+    # Tiered segment generations: an append merges only its new runs into
+    # a fresh generation (O(batch) IO); above this many generations one
+    # compaction job re-merges everything into a single generation.
+    # Query-time read amplification is bounded by this count (a term adds
+    # at most one light row per generation).
+    max_segment_generations: int = 6
     # The heavy-term set ships to stage-2 tasks as a Spark broadcast while
     # it is small; above this size the build falls back to the join-based
     # salting path (postings.with_salt, shuffle join — slower, unbounded).

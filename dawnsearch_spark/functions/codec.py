@@ -12,11 +12,25 @@ postings; the loops below iterate over *byte layers*, bounded by 10).
 Block layout (one posting list row):
   postings are chunked into blocks of ``block_size``; per block the
   directory stores last docID, byte offsets into each of the three
-  varbyte streams (docs/tfs/dls) and the max BM25 impact, enabling
-  block-max WAND to skip whole blocks without decoding them
-  (reference analog: the shipped ``distance_limit`` pre-filter,
-  src/net/udp_service.rs:196-200, and the abandoned "early termination"
-  distance kernel, src/search/vector.rs:136-147).
+  varbyte streams (docs/tfs/dls) and the STATS-FREE impact bound inputs
+  (max tf, min dl), enabling block-max WAND to skip whole blocks without
+  decoding them (reference analog: the shipped ``distance_limit``
+  pre-filter, src/net/udp_service.rs:196-200, and the abandoned "early
+  termination" distance kernel, src/search/vector.rs:136-147).
+
+  The directory deliberately stores stats-free bound inputs instead of a
+  prebaked BM25 block max: BM25 is monotone increasing in tf and
+  decreasing in dl, so for ANY (idf, avgdl) holding at query time the
+  block maximum is attained on the PARETO FRONT of the block's (tf, dl)
+  pairs (max tf, min dl direction). Per block we store that front
+  (typically 1-5 points — tf values in code corpora are tiny ints):
+  ``max_j bm25(front_tf_j, front_dl_j, idf_now, avgdl_now)`` is then the
+  EXACT block maximum under whatever corpus stats hold at query time —
+  full round-3 pruning power with zero staleness. This makes segment
+  rows immutable under appends: N, avgdl and df all drift as the corpus
+  grows, and a stored score bound would go stale (an under-estimating
+  bound silently breaks WAND's exactness). Scalar (max_tf, min_dl) per
+  row feed the metadata-level planning bound.
 """
 
 from __future__ import annotations
@@ -96,15 +110,17 @@ def encode_posting_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    impacts: np.ndarray,
     block_size: int,
 ) -> dict:
     """Pack one (strictly docID-ascending) posting list into blocked varbyte.
 
-    Returns dict with binary streams + directory arrays. ``impacts`` is the
-    per-posting BM25 upper-bound score used for the per-block max. Fully
-    vectorized: one varbyte encode per stream; per-block byte offsets come
-    from the per-value size cumsum; block maxima via ``maximum.reduceat``.
+    Returns dict with binary streams + directory arrays. The directory
+    carries the stats-free per-block Pareto front of (tf, dl) — the BM25
+    block maximum is derived EXACTLY at query time from the CURRENT
+    corpus stats (see module docstring). Fully vectorized: one varbyte
+    encode per stream; per-block byte offsets from the per-value size
+    cumsum; the fronts via one padded (nblocks x block_size) matrix pass
+    (sort by dl, running cummax of tf) — no per-block Python loop.
     """
     n = len(doc_ids)
     assert n > 0
@@ -130,7 +146,11 @@ def encode_posting_blocks(
         np.cumsum(nb, out=c[1:])
         return c[np.append(block_starts, n)]
 
-    block_max_impact = np.maximum.reduceat(np.asarray(impacts, np.float64), block_starts)
+    tfs_i = np.ascontiguousarray(tfs, np.int64)
+    dls_i = np.ascontiguousarray(dls, np.int64)
+    front_tf, front_dl, front_off = _block_pareto_fronts(
+        tfs_i, dls_i, nblocks, block_size
+    )
     return {
         "n_docs": n,
         "doc_blob": doc_blob,
@@ -140,8 +160,49 @@ def encode_posting_blocks(
         "block_doc_off": offs(nb_d),
         "block_tf_off": offs(nb_t),
         "block_dl_off": offs(nb_l),
-        "block_max_impact": block_max_impact,
+        "front_tf": front_tf,
+        "front_dl": front_dl,
+        "front_off": front_off,
+        "max_tf": int(tfs_i.max()),
+        "min_dl": int(dls_i.min()),
     }
+
+
+def _block_pareto_fronts(
+    tfs: np.ndarray, dls: np.ndarray, nblocks: int, block_size: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-block Pareto fronts of (tf max-direction, dl min-direction).
+
+    Matrix formulation (no per-block loop): pad to (nblocks, block_size)
+    with dominated sentinels (tf=0, dl=+inf), argsort each row by
+    (dl asc, tf desc), then a point is on the front iff its tf strictly
+    exceeds the running max of all points with smaller-or-equal dl before
+    it. Returns (front_tf, front_dl, front_off) with front_off of length
+    nblocks + 1 (offsets into the flattened fronts); every nonempty block
+    contributes >= 1 point."""
+    n = len(tfs)
+    pad = nblocks * block_size
+    tf_m = np.zeros(pad, np.int64)
+    dl_m = np.full(pad, np.iinfo(np.int64).max)
+    tf_m[:n] = tfs
+    dl_m[:n] = dls
+    tf_m = tf_m.reshape(nblocks, block_size)
+    dl_m = dl_m.reshape(nblocks, block_size)
+    # sort each block by dl asc, tf desc (tf desc so equal-dl duplicates
+    # keep only the largest tf on the front)
+    order = np.lexsort((-tf_m, dl_m), axis=1)
+    rows = np.arange(nblocks)[:, None]
+    tf_s = tf_m[rows, order]
+    dl_s = dl_m[rows, order]
+    run = np.maximum.accumulate(tf_s, axis=1)
+    keep = np.ones_like(tf_s, bool)
+    keep[:, 1:] = tf_s[:, 1:] > run[:, :-1]
+    keep &= tf_s > 0  # drop padding sentinels
+    counts = keep.sum(axis=1)
+    front_off = np.zeros(nblocks + 1, np.int64)
+    np.cumsum(counts, out=front_off[1:])
+    flat = keep.ravel()
+    return tf_s.ravel()[flat], dl_s.ravel()[flat], front_off
 
 
 def _block_count(n_docs: int, block_size: int) -> int:

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from dawnsearch_spark.config import EngineConfig
 from dawnsearch_spark.manifest import (
+    MANIFEST_DIR as MANIFEST_DIR_NAME,
     config_fingerprint,
     dir_bytes,
     is_committed,
@@ -74,6 +75,28 @@ class IndexPaths:
     @property
     def segments(self) -> str:
         return os.path.join(self.root, "segments")
+
+
+def segment_generations(root: str) -> list[dict]:
+    """The committed segment generation list from the segments manifest
+    (empty for an empty index or a legacy/uncommitted one)."""
+    m = read_manifest(root, "segments") or {}
+    return list(m.get("generations") or [])
+
+
+def read_segments(spark: SparkSession, root: str) -> DataFrame:
+    """The serving segments relation = union of the MANIFEST-LISTED
+    generation directories (partition columns ``gen`` and ``bucket`` are
+    preserved via basePath, so bucket pruning still prunes files). Only
+    manifest-listed generations are read — a crash between a compaction's
+    manifest commit and its old-directory cleanup must not double-serve
+    postings. Falls back to a root read for an empty index."""
+    paths = IndexPaths(root)
+    gens = segment_generations(root)
+    if not gens:
+        return spark.read.parquet(paths.segments)
+    dirs = [os.path.join(paths.segments, f"gen={int(g['gen'])}") for g in gens]
+    return spark.read.option("basePath", paths.segments).parquet(*dirs)
 
 
 def _ceil_to(x: int, mult: int) -> int:
@@ -415,72 +438,71 @@ def build_index(
     terms_dict = spark.read.parquet(paths.terms)
     heavy_terms = terms_dict.filter(F.col("heavy"))
 
-    # ---- stage 3: merge runs -> block-max segments ----
-    if not is_committed(paths.root, "segments", fp):
-        if not os.path.isdir(paths.runs):
-            # empty corpus: no runs were ever written. Commit a
-            # schema-bearing EMPTY segments parquet (non-partitioned — a
-            # partitionBy write of 0 rows leaves no schema to read back)
-            # so Engine boot and searches work and return no hits.
-            from dawnsearch_spark.operators.merge import SEGMENT_SCHEMA
+    # ---- stage 3: merge runs -> block-max segment generations ----
+    # Tiered layout (Lucene-style): segments/gen=K/bucket=B/*.parquet.
+    # The first build merges every run group into gen=0. An APPEND merges
+    # only its NEW groups' runs into a new generation — O(batch) IO, not
+    # O(index) — which the stats-free row format makes safe: rows carry
+    # (max_tf, min_dl) bounds and per-row n_docs, so query-time idf /
+    # avgdl / block bounds are always derived from CURRENT stats and
+    # nothing stored goes stale as N grows (reference analog: usearch
+    # ``add`` + periodic save, search_provider.rs:250-286, :173-181 —
+    # append is O(batch), persistence periodic). When the generation
+    # count exceeds ``cfg.max_segment_generations``, one compaction job
+    # re-merges ALL runs into a single fresh generation (bounded read
+    # amplification at query time, amortized write amplification).
+    all_group_ids = {g for g, _, _, _ in plan}
+    seg_m = read_manifest(paths.root, "segments")
+    generations: list[dict] = []
+    if seg_m is not None and seg_m.get("fingerprint") == fp:
+        generations = list(seg_m.get("generations") or [])
+    covered: set[int] = set()
+    for gd in generations:
+        covered |= {int(x) for x in gd["groups"]}
+    if covered - all_group_ids:
+        # a generation references groups outside the current plan (stale
+        # state under a config change raced with manifests): full rebuild
+        generations, covered = [], set()
+    pending_merge = sorted(all_group_ids - covered)
 
-            spark.createDataFrame([], SEGMENT_SCHEMA).write.mode(
-                "overwrite"
-            ).parquet(paths.segments)
-            write_manifest(
-                paths.root,
-                "segments",
-                {"fingerprint": fp, "rows": 0, "postings": 0,
-                 "bytes": dir_bytes(paths.segments), "n_groups": actual_groups},
-            )
-            log("stage3 segments committed: 0 rows (empty corpus)")
-            return {
-                "n_docs": stats.n_docs,
-                "avgdl": stats.avgdl,
-                "n_groups": actual_groups,
-                "segment_rows": 0,
-                "postings": 0,
-                "index_bytes": dir_bytes(paths.root),
-            }
-        runs_raw = spark.read.parquet(paths.runs)
-        # A term is served EITHER as one light row or as range rows, never
-        # both. The split set is therefore currently-heavy terms PLUS any
-        # term that already has salted runs from earlier groups (a term can
-        # fall back below the ratio threshold when n_docs grows faster
-        # than its df): their new light runs are re-salted so the merge
-        # output stays uniformly range-chunked per term.
+    def _clean_unlisted_gen_dirs() -> None:
+        import shutil
+
+        listed = {int(g["gen"]) for g in generations}
+        if os.path.isdir(paths.segments):
+            for d in os.listdir(paths.segments):
+                if d.startswith("gen=") and int(d.split("=", 1)[1]) not in listed:
+                    shutil.rmtree(os.path.join(paths.segments, d), ignore_errors=True)
+                    log(f"stage3: removed uncommitted segment dir {d}")
+
+    def _merge_groups_to_gen(group_ids: list[int], gen_id: int) -> dict:
+        """Merge the given run groups into segments/gen=<gen_id>."""
+        gdirs = [os.path.join(paths.runs, f"group={g}") for g in group_ids]
+        runs_raw = spark.read.option("basePath", paths.runs).parquet(*gdirs)
+        # Within ONE generation a term is served either as one light row
+        # or as range rows, never both (uniform layout per gen keeps the
+        # merge single-pass); ACROSS generations a term may be mixed —
+        # the query layer treats every row as an additive disjoint
+        # posting set. Split set = globally-heavy terms plus any term
+        # already salted in these runs.
         split_terms = (
             heavy_terms.select("term")
             .union(runs_raw.filter(F.col("salt") >= 0).select("term"))
             .distinct()
         )
-        # The reclassified relation is consumed three times below (light
-        # merge, salted-term semi-join, heavy merge); without a persist each
-        # consumer re-runs the reclassify mapInPandas (a Python stage) and
-        # re-scans the runs parquet. With detection skipped on small corpora
-        # reclassify carries ALL heavy terms, so the re-evaluation is no
-        # longer free.
         from pyspark import StorageLevel
 
         runs = reclassify_runs(runs_raw, split_terms, cfg).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        salted = runs.filter(F.col("salt") >= 0)
         light = merge_light_runs(
-            runs.filter(F.col("salt") == -1), stats, cfg, cfg.build_partitions
-        )
-        # df for salted rows comes from the FULL dictionary restricted to
-        # the terms that actually have salted runs — never the currently-
-        # heavy-flagged subset: with the ratio threshold, n_docs growth can
-        # move a term back below the threshold between appends, and an
-        # inner join against heavy-only would silently drop its postings.
-        salted_term_df = terms_dict.join(
-            salted.select("term").distinct(), "term", "left_semi"
+            runs.filter(F.col("salt") == -1), cfg, cfg.build_partitions
         )
         heavy = merge_heavy_runs(
-            salted, salted_term_df, stats, cfg, cfg.build_partitions
+            runs.filter(F.col("salt") >= 0), cfg, cfg.build_partitions
         )
         seg = light.unionByName(heavy)
+        gdir = os.path.join(paths.segments, f"gen={gen_id}")
         (
             seg.repartition("bucket")
             .sortWithinPartitions("term", "range_id")
@@ -493,26 +515,113 @@ def build_index(
             .write.mode("overwrite")
             .option("parquet.block.size", str(1 << 20))
             .partitionBy("bucket")
-            .parquet(paths.segments)
+            .parquet(gdir)
         )
         runs.unpersist()
-        back = spark.read.parquet(paths.segments)
+        back = spark.read.parquet(gdir)
         agg = back.agg(
             F.count(F.lit(1)).alias("rows"),
             F.sum("n_docs").alias("postings"),
         ).collect()[0]
+        return {
+            "gen": int(gen_id),
+            "groups": [int(g) for g in group_ids],
+            "rows": int(agg["rows"]),
+            "postings": int(agg["postings"] or 0),
+            "bytes": dir_bytes(gdir),
+        }
+
+    def _commit_segments(gens: list[dict]) -> None:
         write_manifest(
             paths.root,
             "segments",
             {
                 "fingerprint": fp,
-                "rows": int(agg["rows"]),
-                "postings": int(agg["postings"] or 0),
+                "generations": gens,
+                "rows": sum(g["rows"] for g in gens),
+                "postings": sum(g["postings"] for g in gens),
                 "bytes": dir_bytes(paths.segments),
                 "n_groups": actual_groups,
             },
         )
-        log(f"stage3 segments committed: {int(agg['rows'])} rows")
+
+    if not all_group_ids and not (
+        seg_m is not None and seg_m.get("fingerprint") == fp
+    ):
+        # empty corpus: no build groups exist (and no runs were ever
+        # written), so there is nothing to merge. Commit a
+        # schema-bearing EMPTY segments parquet (non-partitioned — a
+        # partitionBy write of 0 rows leaves no schema to read back)
+        # so Engine boot and searches work and return no hits.
+        from dawnsearch_spark.operators.merge import SEGMENT_SCHEMA
+
+        spark.createDataFrame([], SEGMENT_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(paths.segments)
+        write_manifest(
+            paths.root,
+            "segments",
+            {"fingerprint": fp, "generations": [], "rows": 0, "postings": 0,
+             "bytes": dir_bytes(paths.segments), "n_groups": actual_groups},
+        )
+        log("stage3 segments committed: 0 rows (empty corpus)")
+        return {
+            "n_docs": stats.n_docs,
+            "avgdl": stats.avgdl,
+            "n_groups": actual_groups,
+            "segment_rows": 0,
+            "postings": 0,
+            "index_bytes": dir_bytes(paths.root),
+        }
+
+    if pending_merge:
+        import shutil
+
+        if not generations:
+            # first build / full rebuild: wipe any stale layout (legacy
+            # root files, fingerprint-mismatched gens), then gen=0
+            if read_manifest(paths.root, "segments") is not None:
+                os.remove(os.path.join(paths.root, MANIFEST_DIR_NAME, "segments.json"))
+            if os.path.isdir(paths.segments):
+                shutil.rmtree(paths.segments, ignore_errors=True)
+            gd = _merge_groups_to_gen(sorted(all_group_ids), 0)
+            generations = [gd]
+            _commit_segments(generations)
+            log(
+                f"stage3 gen 0 committed: {gd['rows']} rows "
+                f"({gd['postings']} postings, full merge)"
+            )
+        else:
+            _clean_unlisted_gen_dirs()
+            next_gen = max(int(g["gen"]) for g in generations) + 1
+            gd = _merge_groups_to_gen(pending_merge, next_gen)
+            generations = generations + [gd]
+            _commit_segments(generations)
+            log(
+                f"stage3 gen {next_gen} committed: {gd['rows']} rows for "
+                f"groups {pending_merge} (incremental append — "
+                f"{gd['bytes']} bytes written, index untouched)"
+            )
+            if len(generations) > cfg.max_segment_generations:
+                # compaction: one full re-merge into a single generation,
+                # manifest first, then drop the old directories (readers
+                # only follow the manifest, so a crash in between leaves
+                # garbage dirs that the next build sweeps — never
+                # double-served postings)
+                comp_gen = next_gen + 1
+                gd = _merge_groups_to_gen(sorted(all_group_ids), comp_gen)
+                old_gens = generations
+                generations = [gd]
+                _commit_segments(generations)
+                for g in old_gens:
+                    shutil.rmtree(
+                        os.path.join(paths.segments, f"gen={int(g['gen'])}"),
+                        ignore_errors=True,
+                    )
+                log(
+                    f"stage3 compacted {len(old_gens)} generations -> "
+                    f"gen {comp_gen} ({gd['rows']} rows)"
+                )
 
     seg_m = read_manifest(paths.root, "segments") or {}
     return {

@@ -92,7 +92,10 @@ def config_fingerprint(cfg) -> str:
     import hashlib
 
     relevant = {
-        "layout_version": 2,  # v2: run rows carry tf_sum (dictionary from metadata)
+        # v4: stats-free segment rows (per-block Pareto fronts of
+        # (tf, dl) instead of baked BM25 bounds; df derived by summing
+        # n_docs) + tiered segment generations — older layouts rebuild
+        "layout_version": 4,
         "k1": cfg.k1,
         "b": cfg.b,
         "num_term_buckets": cfg.num_term_buckets,

@@ -33,25 +33,23 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from dawnsearch_spark.config import EngineConfig
-from dawnsearch_spark.functions.bm25 import bm25_np, idf_np
 from dawnsearch_spark.functions.codec import encode_posting_blocks, varbyte_decode
-from dawnsearch_spark.operators.tf import CorpusStats
 
 SEGMENT_SCHEMA = (
-    "term string, bucket int, range_id long, df long, n_docs long, "
+    "term string, bucket int, range_id long, n_docs long, "
     "doc_blob binary, tf_blob binary, dl_blob binary, "
     "block_last array<long>, block_doc_off array<long>, block_tf_off array<long>, "
-    "block_dl_off array<long>, block_max_impact array<double>, max_impact double"
+    "block_dl_off array<long>, front_tf array<long>, front_dl array<long>, "
+    "front_off array<long>, max_tf long, min_dl long"
 )
 
 SEGMENT_COLS = [
-    "term", "bucket", "range_id", "df", "n_docs",
+    "term", "bucket", "range_id", "n_docs",
     "doc_blob", "tf_blob", "dl_blob",
     "block_last", "block_doc_off", "block_tf_off", "block_dl_off",
-    "block_max_impact", "max_impact",
+    "front_tf", "front_dl", "front_off", "max_tf", "min_dl",
 ]
 
 
@@ -86,22 +84,24 @@ def _decode_runs_merged(
 def _make_segment_row(
     term: str,
     range_id: int,
-    df_global: int,
     docs: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    stats_n: int,
-    avgdl: float,
     cfg: EngineConfig,
 ) -> dict:
-    idf = float(idf_np(float(df_global), float(stats_n)))
-    impacts = bm25_np(tfs, dls, idf, avgdl, cfg.k1, cfg.b)
-    packed = encode_posting_blocks(docs, tfs, dls, impacts, cfg.block_size)
+    """Segment rows are STATS-FREE (no idf/avgdl baked in): the block
+    directory stores per-block Pareto fronts of (tf, dl), from which the
+    query layer derives the EXACT block-max BM25 bound under whatever
+    corpus stats hold at query time (codec.py module docstring). This is
+    what makes rows immutable under incremental appends — global df / N /
+    avgdl all move, and the query layer recovers df exactly by summing
+    ``n_docs`` across a term's rows (doc sets are disjoint across ranges
+    and generations)."""
+    packed = encode_posting_blocks(docs, tfs, dls, cfg.block_size)
     return {
         "term": term,
         "bucket": term_bucket_py(term, cfg.num_term_buckets),
         "range_id": int(range_id),
-        "df": int(df_global),
         "n_docs": int(packed["n_docs"]),
         "doc_blob": packed["doc_blob"],
         "tf_blob": packed["tf_blob"],
@@ -110,8 +110,11 @@ def _make_segment_row(
         "block_doc_off": packed["block_doc_off"].tolist(),
         "block_tf_off": packed["block_tf_off"].tolist(),
         "block_dl_off": packed["block_dl_off"].tolist(),
-        "block_max_impact": packed["block_max_impact"].tolist(),
-        "max_impact": float(packed["block_max_impact"].max()),
+        "front_tf": packed["front_tf"].tolist(),
+        "front_dl": packed["front_dl"].tolist(),
+        "front_off": packed["front_off"].tolist(),
+        "max_tf": packed["max_tf"],
+        "min_dl": packed["min_dl"],
     }
 
 
@@ -160,50 +163,29 @@ def _streaming_key_merge(runs: DataFrame, key_cols: list[str], parts: int, row_f
     return sorted_runs.mapInPandas(gen, SEGMENT_SCHEMA)
 
 
-def merge_light_runs(
-    runs: DataFrame, stats: CorpusStats, cfg: EngineConfig, parts: int
-) -> DataFrame:
+def merge_light_runs(runs: DataFrame, cfg: EngineConfig, parts: int) -> DataFrame:
     """Merge all runs of each light term (one per build group) into one
-    full posting list. df_global = sum of run lengths (doc sets are
-    disjoint across groups)."""
-    n_docs, avgdl = stats.n_docs, stats.avgdl
+    full posting list."""
 
     def row_fn(cols: dict, s: int, e: int) -> dict:
         docs, tfs, dls = _decode_runs_merged(cols, s, e)
-        return _make_segment_row(
-            cols["term"][s], -1, len(docs), docs, tfs, dls, n_docs, avgdl, cfg
-        )
+        return _make_segment_row(cols["term"][s], -1, docs, tfs, dls, cfg)
 
     return _streaming_key_merge(runs, ["term"], parts, row_fn)
 
 
-def merge_heavy_runs(
-    runs: DataFrame,
-    term_stats: DataFrame,
-    stats: CorpusStats,
-    cfg: EngineConfig,
-    parts: int,
-) -> DataFrame:
+def merge_heavy_runs(runs: DataFrame, cfg: EngineConfig, parts: int) -> DataFrame:
     """Heavy terms: one output row per (term, doc-range); the stage-1 salt
     IS the range id. Multiple runs per (term, range) can exist when build
     groups don't align to range boundaries (incremental appends), so this
-    merges per (term, salt). Global df comes from the terms dictionary via
-    a broadcast join (heavy terms are few)."""
-    n_docs, avgdl = stats.n_docs, stats.avgdl
-    joined = runs.join(F.broadcast(term_stats.select("term", "df")), "term", "inner")
+    merges per (term, salt). No dictionary join needed: rows are
+    stats-free, and the query layer recovers global df by summing
+    ``n_docs`` across the term's rows."""
 
     def row_fn(cols: dict, s: int, e: int) -> dict:
         docs, tfs, dls = _decode_runs_merged(cols, s, e)
         return _make_segment_row(
-            cols["term"][s],
-            int(cols["salt"][s]),
-            int(cols["df"][s]),
-            docs,
-            tfs,
-            dls,
-            n_docs,
-            avgdl,
-            cfg,
+            cols["term"][s], int(cols["salt"][s]), docs, tfs, dls, cfg
         )
 
-    return _streaming_key_merge(joined, ["term", "salt"], parts, row_fn)
+    return _streaming_key_merge(runs, ["term", "salt"], parts, row_fn)

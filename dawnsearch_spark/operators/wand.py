@@ -94,6 +94,9 @@ def new_counters() -> dict:
         "seed_blocks_decoded": 0,
         "seed_postings_scored": 0,
         "theta_seed": 0.0,
+        # light-list LRU (Engine serving only; 0/0 when no cache in play)
+        "light_cache_hits": 0,
+        "light_cache_misses": 0,
     }
 
 
@@ -105,6 +108,52 @@ class LightList:
     docs: np.ndarray
     tfs: np.ndarray
     dls: np.ndarray
+
+
+class LightListCache:
+    """Bounded LRU of DECODED light posting lists, keyed by term.
+
+    The reference keeps its whole index resident in RAM between queries
+    (load once, serve many — search_provider.rs:111-120); our driver
+    analog is this cache: repeated serving terms skip the fetch+varbyte
+    decode entirely. It caches only the query-independent arrays
+    (docs/tfs/dls per generation row) — qtf and idf are query-time.
+    Bounded by total cached POSTINGS (the actual memory driver), evicted
+    LRU. One cache belongs to ONE immutable segment state: the Engine
+    rebuilds it on ``refresh()`` (appends rewrite the generation list, so
+    a stale cache could serve dropped rows)."""
+
+    def __init__(self, max_postings: int = 4_000_000):
+        from collections import OrderedDict
+
+        self._d: "OrderedDict[str, list[tuple]]" = OrderedDict()
+        self._postings: dict[str, int] = {}
+        self._total = 0
+        self.max_postings = int(max_postings)
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, term: str):
+        rows = self._d.get(term)
+        if rows is None:
+            self.misses += 1
+            return None
+        self._d.move_to_end(term)
+        self.hits += 1
+        return rows
+
+    def put(self, term: str, rows: list[tuple], n_postings: int) -> None:
+        if n_postings > self.max_postings:
+            return  # never let one giant term flush the whole cache
+        if term in self._d:
+            self._total -= self._postings[term]
+        self._d[term] = rows
+        self._postings[term] = int(n_postings)
+        self._total += int(n_postings)
+        self._d.move_to_end(term)
+        while self._total > self.max_postings and self._d:
+            old_term, _ = self._d.popitem(last=False)
+            self._total -= self._postings.pop(old_term)
 
 
 def _term_bucket(term: str, num_buckets: int) -> int:
@@ -120,7 +169,6 @@ def _row_to_dict(r) -> dict:
     return {
         "term": r["term"],
         "range_id": int(r["range_id"]),
-        "df": int(r["df"]),
         "n_docs": int(r["n_docs"]),
         "doc_blob": bytes(r["doc_blob"]),
         "tf_blob": bytes(r["tf_blob"]),
@@ -129,9 +177,32 @@ def _row_to_dict(r) -> dict:
         "block_doc_off": np.asarray(r["block_doc_off"], np.int64),
         "block_tf_off": np.asarray(r["block_tf_off"], np.int64),
         "block_dl_off": np.asarray(r["block_dl_off"], np.int64),
-        "block_max_impact": np.asarray(r["block_max_impact"], np.float64),
-        "max_impact": float(r["max_impact"]),
+        "front_tf": np.asarray(r["front_tf"], np.int64),
+        "front_dl": np.asarray(r["front_dl"], np.int64),
+        "front_off": np.asarray(r["front_off"], np.int64),
     }
+
+
+def _attach_bounds(rd: dict, idf: float, stats: CorpusStats, cfg: EngineConfig) -> dict:
+    """Derive the EXACT per-block BM25 maxima for one segment row under
+    the CURRENT corpus stats. Rows store the stats-free Pareto front of
+    (tf, dl) per block; BM25 is monotone increasing in tf and decreasing
+    in dl, so the block max over the front equals the block max over all
+    member postings for ANY (idf, avgdl) — full pruning power no matter
+    how many appends happened since the row was written."""
+    fvals = bm25_np(rd["front_tf"], rd["front_dl"], idf, stats.avgdl, cfg.k1, cfg.b)
+    rd["block_ub"] = np.maximum.reduceat(fvals, rd["front_off"][:-1])
+    rd["row_ub"] = float(rd["block_ub"].max())
+    return rd
+
+
+def _meta_row_ub(r, idf: float, stats: CorpusStats, cfg: EngineConfig) -> float:
+    """Row-level upper bound from the scalar (max_tf, min_dl) metadata."""
+    tf = float(r["max_tf"])
+    dl = float(r["min_dl"])
+    return float(
+        idf * (tf * (cfg.k1 + 1.0)) / (tf + cfg.k1 * (1.0 - cfg.b + cfg.b * dl / stats.avgdl))
+    )
 
 
 def _decode_blocks_tf_dl(
@@ -184,7 +255,7 @@ def _topk_merge(doc_ids, scores, k: int) -> list[tuple[int, float]]:
 def _score_one_range(
     lo: int,
     hi: int,
-    heavy_rows: dict[str, dict],
+    heavy_rows: dict[str, list[dict]],
     lights: list[LightList],
     qmeta: list[tuple[str, int, float]],  # (term, qtf, idf) ascending term
     theta: float,
@@ -192,40 +263,62 @@ def _score_one_range(
     cfg: EngineConfig,
     ctr: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact scores for surviving docs of one doc-range."""
+    """Exact scores for surviving docs of one doc-range.
+
+    ``heavy_rows`` maps term -> LIST of segment rows: with tiered segment
+    generations a (term, range) can have one row per generation, holding
+    DISJOINT doc sets (a doc is indexed by exactly one generation). A
+    term's upper bound for a doc is therefore the MAX over its rows'
+    block bounds (never the sum), and exact contributions accumulate row
+    by row — each doc matches in at most one row. Rows must arrive with
+    ``block_ub``/``row_ub`` attached (see :func:`_attach_bounds`)."""
     # light slices restricted to this range, scored exactly (cheap, small)
-    slices: dict[str, tuple] = {}
+    slices: dict[str, list[tuple]] = {}
     light_ub = 0.0
+    term_slice_max: dict[str, float] = {}
     for l in lights:
         a, b_ = np.searchsorted(l.docs, lo), np.searchsorted(l.docs, hi)
         if a == b_:
             continue
         sc = l.qtf * bm25_np(l.tfs[a:b_], l.dls[a:b_], l.idf, stats.avgdl, cfg.k1, cfg.b)
-        slices[l.term] = (l.docs[a:b_], sc)
-        light_ub += float(sc.max())
+        slices.setdefault(l.term, []).append((l.docs[a:b_], sc))
+        # several light rows of one term (one per generation) hold
+        # disjoint docs -> per-term bound is the max over rows
+        term_slice_max[l.term] = max(term_slice_max.get(l.term, 0.0), float(sc.max()))
+    light_ub = sum(term_slice_max.values())
     # range-level screen before any heavy decode
     heavy_ub = sum(
-        qtf * heavy_rows[t]["max_impact"] for t, qtf, _ in qmeta if t in heavy_rows
+        qtf * max(r["row_ub"] for r in heavy_rows[t])
+        for t, qtf, _ in qmeta
+        if t in heavy_rows
     )
     if heavy_ub + light_ub < theta:
         if ctr is not None:
             ctr["ranges_pruned"] += 1
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
 
-    heavy_docs = {t: _decode_row_docs(r) for t, r in heavy_rows.items()}
-    cand_parts = [d for d in heavy_docs.values()] + [s[0] for s in slices.values()]
+    heavy_docs = {
+        t: [_decode_row_docs(r) for r in rows] for t, rows in heavy_rows.items()
+    }
+    cand_parts = [d for ds in heavy_docs.values() for d in ds] + [
+        s[0] for lst in slices.values() for s in lst
+    ]
     cand = np.unique(np.concatenate(cand_parts))
     # per-doc upper bound: block-max for heavy, exact for light
     ub = np.zeros(len(cand), np.float64)
     for t, qtf, _idf in qmeta:
         if t in heavy_rows:
-            row = heavy_rows[t]
-            blk = np.searchsorted(row["block_last"], cand)
-            valid = blk < len(row["block_last"])
-            ub[valid] += qtf * row["block_max_impact"][blk[valid]]
+            tub = None
+            for row in heavy_rows[t]:
+                blk = np.searchsorted(row["block_last"], cand)
+                valid = blk < len(row["block_last"])
+                cur = np.zeros(len(cand), np.float64)
+                cur[valid] = row["block_ub"][blk[valid]]
+                tub = cur if tub is None else np.maximum(tub, cur)
+            ub += qtf * tub
         if t in slices:
-            sdocs, ssc = slices[t]
-            ub[np.searchsorted(cand, sdocs)] += ssc
+            for sdocs, ssc in slices[t]:
+                ub[np.searchsorted(cand, sdocs)] += ssc
     keep = ub >= theta
     if not keep.any():
         if ctr is not None:
@@ -236,9 +329,7 @@ def _score_one_range(
     if ctr is not None:
         ctr["postings_scored"] += int(len(surv))
     for t, qtf, idf in qmeta:  # ascending-term fold (rank determinism)
-        if t in heavy_rows:
-            row = heavy_rows[t]
-            docs_t = heavy_docs[t]
+        for row, docs_t in zip(heavy_rows.get(t, ()), heavy_docs.get(t, ())):
             pos = np.searchsorted(docs_t, surv)
             m = (pos < len(docs_t)) & (docs_t[np.minimum(pos, len(docs_t) - 1)] == surv)
             if m.any():
@@ -253,8 +344,7 @@ def _score_one_range(
                     tf_v[sel] = tfdl[int(b)][0][off]
                     dl_v[sel] = tfdl[int(b)][1][off]
                 acc[m] += qtf * bm25_np(tf_v, dl_v, idf, stats.avgdl, cfg.k1, cfg.b)
-        if t in slices:
-            sdocs, ssc = slices[t]
+        for sdocs, ssc in slices.get(t, ()):
             pos = np.searchsorted(surv, sdocs)
             m = (pos < len(surv)) & (surv[np.minimum(pos, len(surv) - 1)] == sdocs)
             acc[pos[m]] += ssc[m]
@@ -288,18 +378,28 @@ def make_range_scorer(
     fast (reference analog: local top-k first, then pruned remote merge,
     search_service.rs:201-236)."""
 
+    idf_by_term = {t: idf for t, _qtf, idf in qmeta}
+
     def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
         theta = theta0
         ctr = {key: 0 for key in _CTR_KEYS}
         found: list[tuple[float, int]] = []  # (score, doc_id)
-        by_range: dict[int, dict[str, dict]] = {}
+        by_range: dict[int, dict[str, list[dict]]] = {}
         for _, r in pdf.iterrows():
-            by_range.setdefault(int(r["range_id"]), {})[r["term"]] = _row_to_dict(r)
-        # descending potential
+            rd = _attach_bounds(
+                _row_to_dict(r), idf_by_term[r["term"]], stats, cfg
+            )
+            by_range.setdefault(int(r["range_id"]), {}).setdefault(
+                r["term"], []
+            ).append(rd)
+        # descending potential; per term the bound is the max over its
+        # generation rows (disjoint doc sets), never the sum
         order = sorted(
             by_range.items(),
             key=lambda kv: -sum(
-                qtf * kv[1][t]["max_impact"] for t, qtf, _ in qmeta if t in kv[1]
+                qtf * max(r["row_ub"] for r in kv[1][t])
+                for t, qtf, _ in qmeta
+                if t in kv[1]
             ),
         )
         for range_id, heavy_rows in order:
@@ -321,11 +421,12 @@ def make_range_scorer(
     return scorer
 
 
-def _split_light_rows_gen(stats: CorpusStats, cfg: EngineConfig):
+def _split_light_rows_gen(cfg: EngineConfig):
     """mapInPandas generator: range-split overflow light rows into rows
     shaped exactly like heavy range rows (same blocked varbyte layout,
-    block-max directory recomputed per slice, GLOBAL df preserved so idf
-    and impacts are identical to the unsplit list). This is the executor
+    block-bound directory recomputed per slice; idf is unaffected — the
+    driver derives global df from the METADATA rows before splitting, so
+    scores are identical to the unsplit list). This is the executor
     half of the driver-postings budget: the decode of a big light list
     happens here, bounded per row by ``heavy_df_max``, never on the
     driver. Reference analog: the bounded accumulator + shipped threshold
@@ -356,12 +457,9 @@ def _split_light_rows_gen(stats: CorpusStats, cfg: EngineConfig):
                         _make_segment_row(
                             r.term,
                             int(ranges[s]),
-                            int(r.df),
                             docs[s:e],
                             tfs[s:e],
                             dls[s:e],
-                            stats.n_docs,
-                            stats.avgdl,
                             cfg,
                         )
                     )
@@ -382,7 +480,8 @@ def search_index(
     seg_df=None,
     stats: CorpusStats | None = None,
     counters: dict | None = None,
-    meta_by_term: dict[str, list[dict]] | None = None,
+    meta_by_term=None,
+    light_cache: "LightListCache | None" = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for a query string or a {term: weight} bag.
 
@@ -417,23 +516,34 @@ def search_index(
     if not terms:
         return []
     buckets = sorted({_term_bucket(t, cfg.num_term_buckets) for t in terms})
-    seg_all = seg_df if seg_df is not None else spark.read.parquet(paths.segments)
+    from dawnsearch_spark.index_build import read_segments
+    from dawnsearch_spark.manifest import read_manifest
+
+    seg_all = seg_df if seg_df is not None else read_segments(spark, index_root)
     seg = seg_all.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    # manifest-listed generation dirs only (a compaction crash may leave
+    # unlisted garbage dirs — serving must never double-read postings)
+    seg_manifest = read_manifest(index_root, "segments")
+    if seg_manifest is not None and "generations" in seg_manifest:
+        gens = [int(g["gen"]) for g in (seg_manifest.get("generations") or [])]
+    else:
+        gens = None  # legacy layout: autodetect
 
     from dawnsearch_spark.operators.segment_reader import (
         META_COLUMNS,
         read_segment_rows,
     )
 
-    def _fetch(columns=None, range_id=None, only_terms=None) -> list[dict]:
+    def _fetch(columns=None, range_id=None, only_terms=None, heavy_only=False) -> list[dict]:
         """Pruned segment rows as plain dicts. Serving fast path: a direct
         pyarrow read of the pruned bucket files on the driver (reference
-        S7 — in-process segment scan, document_embeddings.rs:17-54); falls
-        back to a Spark collect job when the segment directory is not
-        driver-local (e.g. object storage)."""
+        S7 — in-process segment scan, document_embeddings.rs:17-54) —
+        covers local dirs and pyarrow.fs-mountable URIs (s3://, hdfs://);
+        falls back to a Spark collect job otherwise."""
         want = terms if only_terms is None else sorted(only_terms)
         rows = read_segment_rows(
-            paths.segments, buckets, want, columns=columns, range_id=range_id
+            paths.segments, buckets, want, columns=columns, range_id=range_id,
+            gens=gens, heavy_only=heavy_only,
         )
         if rows is not None:
             return rows
@@ -442,6 +552,8 @@ def search_index(
         )
         if range_id is not None:
             q = q.filter(F.col("range_id") == range_id)
+        if heavy_only:
+            q = q.filter(F.col("range_id") >= 0)
         if columns is not None:
             q = q.select(*columns)
         return [r.asDict() for r in q.collect()]
@@ -459,27 +571,37 @@ def search_index(
     ctr["heavy_rows"] = len(heavy_meta)
     budget = cfg.max_driver_postings
 
-    # driver-resident light lists: smallest first, under the budget
-    driver_terms: list[str] = []
-    overflow_terms: list[str] = []
-    cum = 0
-    for r in sorted(light_meta, key=lambda r: (int(r["n_docs"]), r["term"])):
-        if cum + int(r["n_docs"]) <= budget:
-            cum += int(r["n_docs"])
-            driver_terms.append(r["term"])
-        else:
-            overflow_terms.append(r["term"])
-    ctr["light_terms_driver"] = len(driver_terms)
-    ctr["light_terms_overflow"] = len(overflow_terms)
-
-    # idf inputs: global df per term — every segment row (heavy range row
-    # or light row) carries the dictionary df, so idf is exact everywhere
-    term_df = {r["term"]: int(r["df"]) for r in meta}
+    # idf inputs: global df per term = sum of n_docs over ALL the term's
+    # segment rows — ranges partition the doc space and generations hold
+    # disjoint doc sets, so the sum is exact under incremental appends
+    # (rows are stats-free; nothing stored goes stale)
+    term_df: dict[str, int] = {}
+    for r in meta:
+        term_df[r["term"]] = term_df.get(r["term"], 0) + int(r["n_docs"])
     qmeta = [
         (t, bag[t], float(idf_np(float(term_df[t]), float(stats.n_docs))))
         for t in terms
         if t in term_df
     ]
+    idf_by_term = {t: idf for t, _qtf, idf in qmeta}
+
+    # driver-resident light lists: smallest TERM first, under the budget.
+    # The budget decision is per term, not per row — a term may have one
+    # light row per generation and they are fetched/decoded together.
+    light_total: dict[str, int] = {}
+    for r in light_meta:
+        light_total[r["term"]] = light_total.get(r["term"], 0) + int(r["n_docs"])
+    driver_terms: list[str] = []
+    overflow_terms: list[str] = []
+    cum = 0
+    for t in sorted(light_total, key=lambda t: (light_total[t], t)):
+        if cum + light_total[t] <= budget:
+            cum += light_total[t]
+            driver_terms.append(t)
+        else:
+            overflow_terms.append(t)
+    ctr["light_terms_driver"] = len(driver_terms)
+    ctr["light_terms_overflow"] = len(overflow_terms)
 
     def _decode_light(r) -> LightList:
         rd = _row_to_dict(r)
@@ -487,7 +609,7 @@ def search_index(
         return LightList(
             term=rd["term"],
             qtf=bag[rd["term"]],
-            idf=float(idf_np(float(rd["df"]), float(stats.n_docs))),
+            idf=idf_by_term[rd["term"]],
             docs=np.cumsum(gaps.astype(np.int64)),
             tfs=varbyte_decode(rd["tf_blob"], rd["n_docs"]).astype(np.int64),
             dls=varbyte_decode(rd["dl_blob"], rd["n_docs"]).astype(np.int64),
@@ -500,12 +622,42 @@ def search_index(
             theta0 = float(np.partition(lscores, -k)[-k])
         return ldocs, lscores, theta0
 
-    ctr["driver_postings_decoded"] = cum
+    def _get_lights(wanted: list[str]) -> list[LightList]:
+        """Decoded light lists for the given terms, through the Engine's
+        LRU when present: cache hits skip both the segment fetch and the
+        varbyte decode (driver_postings_decoded counts ACTUAL decodes, so
+        repeated serving terms show up as zero decode)."""
+        out: list[LightList] = []
+        missing: list[str] = []
+        for t in wanted:
+            cached = light_cache.get(t) if light_cache is not None else None
+            if cached is None:
+                missing.append(t)
+            else:
+                out.extend(
+                    LightList(t, bag[t], idf_by_term[t], docs, tfs, dls)
+                    for docs, tfs, dls in cached
+                )
+        if missing:
+            by_term: dict[str, list[tuple]] = {}
+            for r in _fetch(range_id=-1, only_terms=missing):
+                ll = _decode_light(r)
+                ctr["driver_postings_decoded"] += len(ll.docs)
+                by_term.setdefault(ll.term, []).append((ll.docs, ll.tfs, ll.dls))
+                out.append(ll)
+            if light_cache is not None:
+                for t, rows in by_term.items():
+                    light_cache.put(t, rows, sum(len(d) for d, _, _ in rows))
+        if light_cache is not None:
+            ctr["light_cache_hits"] = light_cache.hits
+            ctr["light_cache_misses"] = light_cache.misses
+        return out
+
     heavy_postings = sum(int(r["n_docs"]) for r in heavy_meta)
 
     if not heavy_meta and not overflow_terms:
         ctr["path"] = "light_only"
-        lights = [_decode_light(r) for r in _fetch(range_id=-1)]
+        lights = _get_lights(driver_terms)
         ldocs, lscores, _ = _light_pass(lights)
         return _topk_merge(ldocs, lscores, k)[:k_out]
 
@@ -515,14 +667,12 @@ def search_index(
         and cum + heavy_postings <= budget
     ):
         # driver-side scoring (reference's local-search-first, E1 step 3):
-        # overflow is empty so every matching row fits the budget — ONE
-        # pruned fetch covers the whole query
+        # overflow is empty so every matching row fits the budget
         ctr["path"] = "driver"
         ctr["driver_postings_decoded"] += heavy_postings
-        all_rows = _fetch()
-        lights = [_decode_light(r) for r in all_rows if int(r["range_id"]) == -1]
+        lights = _get_lights(driver_terms)
         ldocs, lscores, theta0 = _light_pass(lights)
-        heavy_rows = [r for r in all_rows if int(r["range_id"]) >= 0]
+        heavy_rows = _fetch(heavy_only=True)
         if not heavy_rows:
             return _topk_merge(ldocs, lscores, k)[:k_out]
         scorer = make_range_scorer(lights, qmeta, theta0, k, stats, cfg)
@@ -539,12 +689,7 @@ def search_index(
 
     # ---- distributed branch ----
     ctr["path"] = "distributed"
-    lights = []
-    if driver_terms:
-        lights = [
-            _decode_light(r)
-            for r in _fetch(range_id=-1, only_terms=driver_terms)
-        ]
+    lights = _get_lights(driver_terms) if driver_terms else []
     ldocs, lscores, theta0 = _light_pass(lights)
     seed_docs = np.zeros(0, np.int64)
     seed_scores = np.zeros(0, np.float64)
@@ -555,17 +700,31 @@ def search_index(
         # the remote filter, search_service.rs:214-222). Conservative in
         # both directions: seed scores are true partial-or-full scores, so
         # θ stays a lower bound of the kth best.
-        range_ub: dict[int, float] = {}
+        # per (range, term) the bound is the max over generation rows
+        rt_ub: dict[tuple[int, str], float] = {}
         range_postings: dict[int, int] = {}
         for r in heavy_meta:
             rid = int(r["range_id"])
-            range_ub[rid] = range_ub.get(rid, 0.0) + bag[r["term"]] * float(r["max_impact"])
+            key_rt = (rid, r["term"])
+            ub_r = bag[r["term"]] * _meta_row_ub(
+                r, idf_by_term[r["term"]], stats, cfg
+            )
+            rt_ub[key_rt] = max(rt_ub.get(key_rt, 0.0), ub_r)
             range_postings[rid] = range_postings.get(rid, 0) + int(r["n_docs"])
+        range_ub: dict[int, float] = {}
+        for (rid, _t), v in rt_ub.items():
+            range_ub[rid] = range_ub.get(rid, 0.0) + v
         best_rid = max(sorted(range_ub), key=lambda rid: range_ub[rid])
         if cum + range_postings[best_rid] <= budget:
             ctr["driver_postings_decoded"] += range_postings[best_rid]
             seed_rows = _fetch(range_id=best_rid)
-            seed_dict = {r["term"]: _row_to_dict(r) for r in seed_rows}
+            seed_dict: dict[str, list[dict]] = {}
+            for r in seed_rows:
+                seed_dict.setdefault(r["term"], []).append(
+                    _attach_bounds(
+                        _row_to_dict(r), idf_by_term[r["term"]], stats, cfg
+                    )
+                )
             seed_ctr = {key: 0 for key in _CTR_KEYS}
             seed_docs, seed_scores = _score_one_range(
                 best_rid * cfg.range_size,
@@ -596,7 +755,7 @@ def search_index(
         ov = seg.filter(
             (F.col("range_id") == -1) & F.col("term").isin(overflow_terms)
         ).select(*SEGMENT_COLS)
-        split = ov.mapInPandas(_split_light_rows_gen(stats, cfg), SEGMENT_SCHEMA)
+        split = ov.mapInPandas(_split_light_rows_gen(cfg), SEGMENT_SCHEMA)
         rows_df = rows_df.unionByName(split)
 
     scorer = make_range_scorer(lights, qmeta, theta0, k, stats, cfg)

@@ -20,10 +20,77 @@ from pyspark.sql import functions as F
 
 from dawnsearch_spark.config import EngineConfig
 from dawnsearch_spark.functions.tokenizer import tokenize_py
-from dawnsearch_spark.index_build import IndexPaths, build_index, load_stats
+from dawnsearch_spark.index_build import (
+    IndexPaths,
+    build_index,
+    load_stats,
+    read_segments,
+    segment_generations,
+)
 from dawnsearch_spark.manifest import list_manifests
 from dawnsearch_spark.operators.hydrate import hydrate_topk, verify_corpus
 from dawnsearch_spark.operators.wand import search_index
+
+
+class TermMeta:
+    """Columnar driver-resident term dictionary.
+
+    One NumPy array per META column plus a term -> row-slice index
+    (term-sorted layout, binary-searched per lookup) — the in-RAM term
+    dictionary of a classical search engine (reference analog: the whole
+    index resident in RAM at serve time, search_provider.rs:111-120).
+    Per-row cost is 3x int64 + the unique-term strings; a plain
+    dict-of-list-of-dicts layout costs ~300+ bytes/row in CPython object
+    overhead, which at max_driver_meta_rows=2M is ~0.5-1 GB of driver
+    heap — this stays under ~120 MB (see ``nbytes``)."""
+
+    __slots__ = ("_terms", "_starts", "_range_id", "_n_docs", "_max_tf", "_min_dl", "nbytes")
+
+    def __init__(self, terms, range_id, n_docs, max_tf, min_dl):
+        import numpy as np
+
+        terms = np.asarray(terms, dtype=object)
+        order = np.argsort(terms, kind="stable")
+        sorted_terms = terms[order]
+        self._range_id = np.asarray(range_id, np.int64)[order]
+        self._n_docs = np.asarray(n_docs, np.int64)[order]
+        self._max_tf = np.asarray(max_tf, np.int64)[order]
+        self._min_dl = np.asarray(min_dl, np.int64)[order]
+        uniq, starts = np.unique(sorted_terms, return_index=True)
+        self._terms = uniq
+        self._starts = np.append(starts, len(sorted_terms)).astype(np.int64)
+        self.nbytes = (
+            self._range_id.nbytes
+            + self._n_docs.nbytes
+            + self._max_tf.nbytes
+            + self._min_dl.nbytes
+            + self._starts.nbytes
+            + self._terms.nbytes  # pointer array
+            + int(sum(len(t) + 49 for t in uniq))  # CPython str payloads
+        )
+
+    def __len__(self) -> int:
+        return len(self._range_id)
+
+    def get(self, term: str, default=()):
+        """All segment-row metadata dicts for one term (across ranges and
+        generations) — materialized on demand, only for query terms."""
+        import numpy as np
+
+        i = int(np.searchsorted(self._terms, term))
+        if i >= len(self._terms) or self._terms[i] != term:
+            return default
+        s, e = int(self._starts[i]), int(self._starts[i + 1])
+        return [
+            {
+                "term": term,
+                "range_id": int(self._range_id[j]),
+                "n_docs": int(self._n_docs[j]),
+                "max_tf": int(self._max_tf[j]),
+                "min_dl": int(self._min_dl[j]),
+            }
+            for j in range(s, e)
+        ]
 
 
 class Engine:
@@ -34,8 +101,9 @@ class Engine:
         self.stats_ = load_stats(index_root)  # raises if index absent
         self.last_search_counters: dict = {}
         # cached segment relation: avoids per-query file listing + schema
-        # inference (the dominant cost of small queries)
-        self._segments = spark.read.parquet(self.paths.segments)
+        # inference (the dominant cost of small queries); reads only the
+        # manifest-listed generation directories
+        self._segments = read_segments(spark, self.paths.root)
         # eager: file listing + schema read happen at boot (a serving
         # engine warms its row store once), not inside the first query
         self._documents: DataFrame | None = spark.read.parquet(self.paths.documents)
@@ -45,8 +113,16 @@ class Engine:
         # only while the segment-row count fits max_driver_meta_rows; a
         # bigger index falls back to a per-query column-pruned collect.
         self._meta_by_term = self._load_meta()
+        self._light_cache = self._new_light_cache()
 
-    def _load_meta(self) -> dict[str, list[dict]] | None:
+    def _new_light_cache(self):
+        from dawnsearch_spark.operators.wand import LightListCache
+
+        if self.cfg.light_cache_postings <= 0:
+            return None
+        return LightListCache(self.cfg.light_cache_postings)
+
+    def _load_meta(self) -> TermMeta | None:
         from dawnsearch_spark.manifest import read_manifest
 
         seg_m = read_manifest(self.paths.root, "segments") or {}
@@ -55,26 +131,24 @@ class Engine:
             return None
         from dawnsearch_spark.operators.segment_reader import (
             META_COLUMNS,
-            read_segment_rows,
+            read_segment_table,
         )
 
-        recs = read_segment_rows(self.paths.segments, columns=META_COLUMNS)
-        if recs is None:  # non-local segments: one column-pruned Spark job
-            recs = [
-                r.asDict() for r in self._segments.select(*META_COLUMNS).collect()
-            ]
-        by_term: dict[str, list[dict]] = {}
-        for r in recs:
-            by_term.setdefault(r["term"], []).append(
-                {
-                    "term": r["term"],
-                    "range_id": int(r["range_id"]),
-                    "df": int(r["df"]),
-                    "n_docs": int(r["n_docs"]),
-                    "max_impact": float(r["max_impact"]),
-                }
-            )
-        return by_term
+        gens = [int(g["gen"]) for g in segment_generations(self.paths.root)]
+        tbl = read_segment_table(self.paths.segments, columns=META_COLUMNS, gens=gens)
+        if tbl is not None:  # pyarrow-readable: zero Spark jobs, columnar
+            cols = {c: tbl.column(c).to_numpy(zero_copy_only=False) for c in META_COLUMNS}
+        else:  # one column-pruned Spark job
+            import numpy as np
+
+            recs = self._segments.select(*META_COLUMNS).collect()
+            cols = {
+                c: np.asarray([r[c] for r in recs], dtype=object if c == "term" else None)
+                for c in META_COLUMNS
+            }
+        return TermMeta(
+            cols["term"], cols["range_id"], cols["n_docs"], cols["max_tf"], cols["min_dl"]
+        )
 
     @classmethod
     def build(
@@ -99,9 +173,11 @@ class Engine:
         self.spark.catalog.refreshByPath(self.paths.segments)
         self.spark.catalog.refreshByPath(self.paths.documents)
         self.stats_ = load_stats(self.paths.root)
-        self._segments = self.spark.read.parquet(self.paths.segments)
+        self._segments = read_segments(self.spark, self.paths.root)
         self._documents = None
         self._meta_by_term = self._load_meta()
+        # decoded light lists belong to the OLD generation list — drop them
+        self._light_cache = self._new_light_cache()
         return self
 
     def documents(self) -> DataFrame:
@@ -133,6 +209,7 @@ class Engine:
             stats=self.stats_,
             counters=self.last_search_counters,
             meta_by_term=self._meta_by_term,
+            light_cache=self._light_cache,
         )
 
     def search_df(self, query: str | dict[str, int], k: int | None = None) -> DataFrame:

@@ -7,18 +7,27 @@ forever, random WARC per cycle) with URL-dedup before insert
 checkpoints (/root/reference/src/bin/dawnsearch.rs:80-88).
 
 Spark shape: each micro-batch of new documents becomes one or more new
-**build groups** appended after the committed ones. Posting runs are
-stats-independent (they store raw docID/tf/dl), so an append only:
+**build groups** appended after the committed ones. BOTH the posting
+runs AND the merged segment rows are stats-free (runs store raw
+docID/tf/dl; segment rows store (max_tf, min_dl) block bounds and
+per-row n_docs — query-time idf/avgdl/bounds always derive from current
+stats), so an append only:
   1. anti-joins new docs against the forward index on the identity key
      (J2 insert-dedup analog), assigns docIDs starting at the current N;
   2. appends to the forward-index parquet and re-commits its manifest;
-  3. invalidates the ``stats`` and ``segments`` manifests;
-  4. re-runs ``build_index`` — committed run groups are skipped, only the
-     new groups tokenize/shuffle; stats are recomputed exactly and the
-     merge re-runs so BM25 idf/avgdl (and therefore scores) stay
-     rank-identical to a from-scratch build over the full corpus.
-Terms that crossed the heavy-df threshold since their old groups were
-built are re-salted at merge time (``reclassify_runs``).
+  3. invalidates the ``stats`` manifest (exact recount from run
+     metadata — cheap) while the ``segments`` manifest KEEPS its
+     committed generation list;
+  4. re-runs ``build_index`` — committed run groups are skipped, only
+     the new groups tokenize/shuffle, and stage 3 merges ONLY the new
+     groups' runs into a new segment GENERATION: append IO is O(batch),
+     never O(index) (the reference appends in O(batch) too —
+     search_provider.rs:250-286 — with periodic saves :173-181).
+     Compaction re-merges all generations once their count exceeds
+     ``cfg.max_segment_generations``.
+Scores stay rank-identical to a from-scratch build because nothing
+stats-dependent is stored: df is recovered by summing n_docs across a
+term's rows, and block bounds are evaluated under current stats.
 """
 
 from __future__ import annotations
@@ -54,8 +63,10 @@ def append_documents(
     Crash safety (no torn-append window): the doc_id base comes from
     ``max(doc_id) + 1`` of the forward-index parquet itself — never from
     the stats manifest, which may be stale after a crash — and the derived
-    manifests (stats, segments, documents) are invalidated BEFORE the
-    parquet append. A crash at any point then leaves one of two states:
+    manifests (stats, documents) are invalidated BEFORE the parquet
+    append (the segments manifest survives: its committed generations
+    stay valid, and stage 3 detects the uncovered new groups by
+    comparing the generation group list against the build plan). A crash at any point then leaves one of two states:
     (a) manifests invalidated, parquet untouched — the next build recovers
     the documents manifest by recount; (b) rows appended, manifests still
     missing — same recovery path adopts the appended rows (their ids are
@@ -93,7 +104,7 @@ def append_documents(
         if n_new == 0:
             log("append: nothing new after dedup")
             return {"appended": 0, "n_docs": n_existing}
-        _invalidate(paths.root, ["stats", "segments", "documents"])
+        _invalidate(paths.root, ["stats", "documents"])
         # assign_doc_ids output partitions are already contiguous sorted
         # doc_id ranges — append them as-is (no extra repartitionByRange
         # shuffle)
@@ -112,7 +123,7 @@ def append_documents(
         "documents",
         {"fingerprint": fp, "n_docs": base + n_new, "appended": n_new},
     )
-    log(f"append: {n_new} new docs (total {base + n_new}); rebuilding stats+merge")
+    log(f"append: {n_new} new docs (total {base + n_new}); stats recount + incremental merge")
     counters = build_index(spark, existing, index_root, cfg, n_groups=n_groups, log=log)
     counters["appended"] = n_new
     return counters

@@ -1,6 +1,7 @@
 """Delta+varbyte codec: round-trip properties and block-directory
-invariants (SURVEY.md §5: property-style random docID sets; block
-max-impact >= every member impact)."""
+invariants (SURVEY.md §5: property-style random docID sets; the stats-free
+block bounds (max_tf, min_dl) must dominate every member posting so the
+query-time BM25 bound is a true upper bound under any corpus stats)."""
 
 from __future__ import annotations
 
@@ -43,8 +44,7 @@ def test_posting_blocks_roundtrip(doc_set, block_size):
     rng = np.random.default_rng(7)
     tfs = rng.integers(1, 50, n).astype(np.int64)
     dls = rng.integers(1, 3000, n).astype(np.int64)
-    impacts = tfs / (tfs + 1.0)
-    row = encode_posting_blocks(docs, tfs, dls, impacts, block_size)
+    row = encode_posting_blocks(docs, tfs, dls, block_size)
     d2, t2, l2 = decode_all_postings(row, block_size)
     assert d2.tolist() == docs.tolist()
     assert t2.tolist() == tfs.tolist()
@@ -58,8 +58,20 @@ def test_posting_blocks_roundtrip(doc_set, block_size):
         assert bt.tolist() == tfs[s:e].tolist()
         assert bl.tolist() == dls[s:e].tolist()
         assert row["block_last"][b] == docs[e - 1]
-        assert row["block_max_impact"][b] == pytest.approx(impacts[s:e].max())
-        assert (impacts[s:e] <= row["block_max_impact"][b] + 1e-15).all()
+        # the Pareto-front-derived bound is the EXACT block max under ANY
+        # corpus stats (monotone ↑tf ↓dl ⇒ the argmax lies on the front)
+        from dawnsearch_spark.functions.bm25 import bm25_np
+
+        fs_, fe = row["front_off"][b], row["front_off"][b + 1]
+        assert fe > fs_, "every block contributes >= 1 front point"
+        for avgdl, idf in ((10.0, 1.3), (900.0, 0.02), (100.0, 0.5)):
+            ub = bm25_np(
+                row["front_tf"][fs_:fe], row["front_dl"][fs_:fe],
+                idf, avgdl, 1.2, 0.75,
+            ).max()
+            member = bm25_np(tfs[s:e], dls[s:e], idf, avgdl, 1.2, 0.75)
+            assert ub == pytest.approx(member.max(), rel=1e-12)
+    assert row["max_tf"] == tfs.max() and row["min_dl"] == dls.min()
 
 
 def test_rejects_unsorted():
@@ -68,6 +80,5 @@ def test_rejects_unsorted():
             np.array([3, 1], np.int64),
             np.ones(2, np.int64),
             np.ones(2, np.int64),
-            np.ones(2),
             8,
         )

@@ -156,7 +156,7 @@ def test_resume_skips_committed_groups(spark, small_corpus, cfg, tmp_path):
     build_index(spark, small_corpus, d2, cfg, n_groups=4)
     s1 = spark.read.parquet(d1 + "/segments")
     s2 = spark.read.parquet(d2 + "/segments")
-    cols = ["term", "range_id", "df", "n_docs", "doc_blob", "tf_blob", "dl_blob"]
+    cols = ["term", "range_id", "n_docs", "doc_blob", "tf_blob", "dl_blob"]
     assert s1.select(cols).exceptAll(s2.select(cols)).count() == 0
     assert s2.select(cols).exceptAll(s1.select(cols)).count() == 0
 

@@ -89,7 +89,7 @@ def test_parallel_groups_identical_segments(spark, small_corpus, cfg, tmp_path):
     d1, d2 = str(tmp_path / "seq"), str(tmp_path / "par")
     build_index(spark, small_corpus, d1, cfg, n_groups=4, parallel_groups=1)
     build_index(spark, small_corpus, d2, cfg, n_groups=4, parallel_groups=4)
-    cols = ["term", "range_id", "df", "n_docs", "doc_blob", "tf_blob", "dl_blob"]
+    cols = ["term", "range_id", "n_docs", "doc_blob", "tf_blob", "dl_blob"]
     s1 = spark.read.parquet(d1 + "/segments").select(cols)
     s2 = spark.read.parquet(d2 + "/segments").select(cols)
     assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
@@ -134,9 +134,6 @@ def test_heavy_to_light_threshold_drift_keeps_postings(
     # semantics at the operator level.
     from dawnsearch_spark.operators.merge import merge_heavy_runs, merge_light_runs
     from dawnsearch_spark.operators.postings import reclassify_runs
-    from dawnsearch_spark.index_build import load_stats
-
-    stats = load_stats(d)
 
     # recompute dictionary under the HIGH threshold
     from dawnsearch_spark.operators.tf import document_frequencies_fast
@@ -157,9 +154,8 @@ def test_heavy_to_light_threshold_drift_keeps_postings(
     )
     runs = reclassify_runs(runs_raw, split_terms, low)
     salted = runs.filter(F.col("salt") >= 0)
-    salted_term_df = dfs.join(salted.select("term").distinct(), "term", "left_semi")
-    heavy_rows = merge_heavy_runs(salted, salted_term_df, stats, low, 8)
-    light_rows = merge_light_runs(runs.filter(F.col("salt") == -1), stats, low, 8)
+    heavy_rows = merge_heavy_runs(salted, low, 8)
+    light_rows = merge_light_runs(runs.filter(F.col("salt") == -1), low, 8)
     # no salted term lost its postings, and no term serves from both layouts
     salted_terms_out = {r["term"] for r in heavy_rows.select("term").distinct().collect()}
     light_terms_out = {r["term"] for r in light_rows.select("term").distinct().collect()}

@@ -142,7 +142,7 @@ def test_block_max_pruning_saves_decodes(spark, index_dir, cfg):
         terms = query.split()
         total_blocks = (
             seg.filter(F.col("term").isin(terms) & (F.col("range_id") >= 0))
-            .select(F.sum(F.size("block_max_impact")).alias("nb"))
+            .select(F.sum(F.size("block_last")).alias("nb"))
             .collect()[0]["nb"]
             or 0
         )
