@@ -22,26 +22,40 @@ Reference semantics being preserved (SURVEY.md §2.5 T1/T4, §4 P1/P2):
 Execution shape (serving fast path: ZERO Spark jobs; distributed path:
 one pruned scan job + a tiny collect):
   query terms -> bucket + term pruning; metadata comes from the Engine's
-     driver-resident term dictionary, else a column-pruned fetch
-  -> pruned segment rows read driver-side via pyarrow when the segment
-     dir is local (reference S7 in-process segment scan,
-     document_embeddings.rs:17-54); Spark collect for object-store dirs
-  -> light rows decoded on the driver, smallest-df first, under a hard
-     ``max_driver_postings`` budget; overflow light lists are RANGE-SPLIT
-     on the executors (mapInPandas decode -> per-doc-range re-pack) into
-     rows shaped exactly like heavy range rows
+     COLUMNAR driver-resident term dictionary (plans/query.py TermMeta),
+     else a column-pruned fetch. Global df per term = Σ n_docs over the
+     term's rows (ranges and generations are disjoint doc sets), so idf
+     is exact under incremental appends with nothing stats-dependent
+     stored in the index
+  -> pruned segment rows read driver-side via pyarrow.fs whenever it can
+     mount the segments dir (local paths AND object-store URIs —
+     reference S7 in-process segment scan, document_embeddings.rs:17-54);
+     Spark collect otherwise. Only MANIFEST-LISTED generation dirs are
+     read (never compaction leftovers)
+  -> light rows decoded on the driver through the Engine's bounded
+     LightListCache LRU (repeated serving terms skip fetch+decode),
+     smallest-TERM-first under a hard ``max_driver_postings`` budget;
+     overflow light lists are RANGE-SPLIT on the executors (mapInPandas
+     decode -> per-doc-range re-pack) into rows shaped exactly like
+     heavy range rows
   -> heavy + split rows grouped into range tasks (applyInPandas); each
-     task processes its doc-ranges in descending upper-bound order,
-     maintains a rising local θ (seeded from the driver's light pass PLUS
-     a driver pre-score of the single best-upper-bound range), prunes
-     whole ranges by Σ max_impact, prunes candidates by per-block max
-     impact, and decodes tf/dl only for blocks that still have survivors
+     task derives EXACT per-block BM25 maxima from the rows' stats-free
+     (tf, dl) Pareto fronts under current stats (_attach_bounds),
+     processes its doc-ranges in descending upper-bound order, maintains
+     a rising local θ (seeded from the driver's light pass PLUS a driver
+     pre-score of the single best-upper-bound range), prunes whole
+     ranges by Σ over terms of the per-term row-max bound, prunes
+     candidates by per-block max, and decodes tf/dl only for blocks that
+     still have survivors
   -> driver merges per-task top-k (dedup keep-max), final sort.
 
 The per-doc score for any doc is computed whole inside exactly one range
 task (all heavy/split rows of a doc-range carry the same range_id, and the
 driver-resident light lists are sliced per range inside the task), so the
-keep-max merge never adds partial scores — the merge is exact.
+keep-max merge never adds partial scores — the merge is exact. With
+tiered generations a (term, range) may span several rows holding
+DISJOINT doc subsets: per-term bounds take the MAX over rows, exact
+contributions accumulate row by row (each doc matches at most one row).
 
 All per-posting work is NumPy-vectorized. Scores accumulate per doc in
 ascending-term order in float64 — bitwise identical to the oracle's fold

@@ -122,3 +122,34 @@ def test_hydration_pushes_result_ids_into_the_scan(spark, cfg):
     # (row-group pruning over the doc_id-ranged forward index)
     pushed = plan.split("PushedFilters")[1][:300] if "PushedFilters" in plan else ""
     assert "In(doc_id" in pushed or "EqualTo(doc_id" in pushed, plan[:1500]
+
+
+def test_term_meta_columnar_memory_bound(spark, small_corpus, cfg, tmp_path):
+    """VERDICT r3 #3: the driver term dictionary must be columnar with a
+    measurable footprint far below the dict-of-dicts layout it replaced
+    (~300+ B/row of CPython overhead). Bound: <= 120 B/row including the
+    unique-term string payloads, and lookups must agree with a raw scan."""
+    from dawnsearch_spark.index_build import build_index, read_segments
+    from dawnsearch_spark.plans.query import Engine, TermMeta
+
+    d = str(tmp_path / "idx")
+    build_index(spark, small_corpus, d, cfg, n_groups=2)
+    e = Engine(spark, d, cfg)
+    meta = e._meta_by_term
+    assert isinstance(meta, TermMeta)
+    n_rows = len(meta)
+    assert n_rows > 0
+    assert meta.nbytes <= 120 * n_rows, (meta.nbytes, n_rows)
+    # lookups agree with a full scan of the segments relation
+    seg = read_segments(spark, d).select("term", "range_id", "n_docs").collect()
+    by_term = {}
+    for r in seg:
+        by_term.setdefault(r["term"], set()).add((int(r["range_id"]), int(r["n_docs"])))
+    assert len(seg) == n_rows
+    import random
+
+    rng = random.Random(5)
+    for t in rng.sample(sorted(by_term), 25):
+        got = {(m["range_id"], m["n_docs"]) for m in meta.get(t)}
+        assert got == by_term[t], t
+    assert meta.get("zz-not-a-term") == ()
