@@ -617,6 +617,54 @@ def q_media_decode_png(spark, sf_dir):
     )
 
 
+def q_media_decode_jpeg(spark, sf_dir):
+    """Baseline-JPEG decode under the driver gate (functions/jpeg.py —
+    NumPy DCT + LUT Huffman, 4:2:0 like real camera output; no codec
+    library). JPEG is lossy, so the contract is a BOUNDED-ERROR
+    reconstruction of the closed-form pixel pattern: the decoder must
+    reproduce every pixel within tolerance 4 (measured worst case over
+    the fixture set: 2) — the oracle predicts err_ok = 1 for every image
+    from first principles, and a broken DCT/Huffman/upsampling stage
+    fails the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from dawnsearch_spark.functions.jpeg import decode_jpeg
+    from dawnsearch_spark.operators.multimodal import synthesize_bmp_media
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = synthesize_bmp_media(docs, width=32, height=16, codec="jpeg")
+
+    def gen(batches):
+        xs = np.arange(32)[None, :]
+        ys = np.arange(16)[:, None]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy("int64")
+            errs = []
+            for i in range(len(pdf)):
+                img = decode_jpeg(bytes(pdf["media"].iloc[i])).astype(np.int64)
+                did = int(ids[i])
+                exp = np.empty((16, 32, 3), np.int64)
+                exp[..., 0] = (did + xs) % 256
+                exp[..., 1] = (2 * did + ys) % 256
+                exp[..., 2] = (3 * did + xs + ys) % 256
+                errs.append(int(np.abs(img - exp).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": np.full(len(pdf), 32, np.int32),
+                    "height": np.full(len(pdf), 16, np.int32),
+                    "err_ok": (np.asarray(errs) <= 4).astype(np.int32),
+                }
+            )
+
+    return media.mapInPandas(
+        gen, "doc_id long, width int, height int, err_ok int"
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary media column -> vectorized per-byte
     features, emitted as scalar columns (driver-hashable) with a DuckDB
@@ -845,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_decode": q_media_decode,
         "media_decode_png": q_media_decode_png,
+        "media_decode_jpeg": q_media_decode_jpeg,
     }
 
 
@@ -1216,4 +1265,9 @@ def oracle_sql() -> dict[str, str]:
     # the PNG variant decodes the same closed-form pattern, so the BMP
     # oracle is its oracle too
     out["media_decode_png"] = out["media_decode"]
+    # lossy-format contract: bounded-error reconstruction of the pattern
+    out["media_decode_jpeg"] = """
+        SELECT doc_id, 32 AS width, 16 AS height, 1 AS err_ok
+        FROM documents WHERE doc_id < 50
+    """
     return out

@@ -205,10 +205,6 @@ def _block_pareto_fronts(
     return tf_s.ravel()[flat], dl_s.ravel()[flat], front_off
 
 
-def _block_count(n_docs: int, block_size: int) -> int:
-    return (n_docs + block_size - 1) // block_size
-
-
 def decode_block(
     row: dict,
     b: int,

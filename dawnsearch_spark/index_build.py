@@ -390,25 +390,88 @@ def build_index(
     # the compact run rows; the corpus content is never re-tokenized. The
     # BM25 globals follow (avgdl = total_tokens / n_docs; integer-exact
     # before the one float division, identical to avg(doclen)).
+    #
+    # INCREMENTAL on append: the ``terms`` manifest records which run
+    # groups the committed dictionary covers. When only new groups are
+    # uncovered, the new dictionary = old dictionary ⊕ (aggregation of
+    # the NEW groups' run metadata alone), summed per term — df/cf sums
+    # over disjoint doc sets are exact, and the heavy flag is recomputed
+    # from the summed df under the CURRENT (n_docs-scaled) threshold. An
+    # append therefore reads O(dict + new-group metadata), never the
+    # whole runs directory (which at 10^12 docs is billions of rows of
+    # per-group term metadata per append). Crash-safe by construction:
+    # tmp-write → swap → manifest; any crash falls back to the full
+    # re-aggregation path on the next build.
     if not is_committed(paths.root, "stats", fp):
-        if os.path.isdir(paths.runs):
-            runs_meta = spark.read.parquet(paths.runs).select("term", "n_docs", "tf_sum")
-        else:  # empty corpus: no runs were written
-            runs_meta = spark.createDataFrame(
-                [], "term string, n_docs long, tf_sum long"
-            )
-        dict_df = (
-            runs_meta.groupBy("term")
-            .agg(
-                F.sum("n_docs").cast("long").alias("df"),
-                F.sum("tf_sum").cast("long").alias("cf"),
-            )
-            .withColumn("heavy", F.col("df") > F.lit(eff_heavy))
-            .withColumn(
+        all_ids = {g for g, _, _, _ in plan}
+        terms_m = read_manifest(paths.root, "terms")
+        t_covered = None
+        if (
+            terms_m is not None
+            and terms_m.get("fingerprint") == fp
+            and "groups" in terms_m
+        ):
+            t_covered = {int(x) for x in terms_m["groups"]}
+        agg_cols = [
+            F.sum("n_docs").cast("long").alias("df"),
+            F.sum("tf_sum").cast("long").alias("cf"),
+        ]
+        finish = lambda df_: (
+            df_.withColumn("heavy", F.col("df") > F.lit(eff_heavy)).withColumn(
                 "bucket", F.pmod(F.crc32(F.col("term")), F.lit(cfg.num_term_buckets))
             )
         )
-        dict_df.write.mode("overwrite").parquet(paths.terms)
+        if t_covered == all_ids and _has_success(paths.terms):
+            # dictionary already current (crash after the dict swap but
+            # before the stats manifest): only recompute the stats below
+            log("stage1b dictionary already covers the plan; stats recount only")
+        elif (
+            t_covered is not None
+            and t_covered
+            and t_covered < all_ids
+            and _has_success(paths.terms)
+        ):
+            new_ids = sorted(all_ids - t_covered)
+            delta = (
+                spark.read.option("basePath", paths.runs)
+                .parquet(*[os.path.join(paths.runs, f"group={g}") for g in new_ids])
+                .select("term", "n_docs", "tf_sum")
+                .groupBy("term")
+                .agg(*agg_cols)
+            )
+            old = spark.read.parquet(paths.terms).select("term", "df", "cf")
+            dict_df = finish(
+                old.unionByName(delta.selectExpr("term", "df", "cf"))
+                .groupBy("term")
+                .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
+            )
+            tmp = paths.terms + "_tmp"
+            dict_df.write.mode("overwrite").parquet(tmp)
+            import shutil
+
+            shutil.rmtree(paths.terms, ignore_errors=True)
+            os.rename(tmp, paths.terms)
+            spark.catalog.refreshByPath(paths.terms)
+            log(
+                f"stage1b dictionary updated incrementally: groups {new_ids} "
+                f"folded into the committed dictionary (old runs untouched)"
+            )
+        else:
+            if os.path.isdir(paths.runs):
+                runs_meta = spark.read.parquet(paths.runs).select(
+                    "term", "n_docs", "tf_sum"
+                )
+            else:  # empty corpus: no runs were written
+                runs_meta = spark.createDataFrame(
+                    [], "term string, n_docs long, tf_sum long"
+                )
+            dict_df = finish(runs_meta.groupBy("term").agg(*agg_cols))
+            dict_df.write.mode("overwrite").parquet(paths.terms)
+        write_manifest(
+            paths.root,
+            "terms",
+            {"fingerprint": fp, "groups": sorted(int(g) for g in all_ids)},
+        )
         tstats = spark.read.parquet(paths.terms).agg(
             F.count(F.lit(1)).alias("n_terms"),
             F.sum(F.col("heavy").cast("int")).alias("n_heavy"),

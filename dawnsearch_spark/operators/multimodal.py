@@ -2,11 +2,13 @@
 
 Media (image/audio/video) are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extract run as Arrow-batched pandas UDFs
-over ``mapInPandas``. The actual codec step is STUBBED (no image/audio
-libraries in this container — ``decode_media`` raises NotImplementedError
-with a clear marker) while everything Spark-side is real and tested:
-schema, partitioning, UDF signatures, batch shapes, and a deterministic
-byte-level feature extractor standing in for the real one.
+over ``mapInPandas``. Image decode is REAL for BMP / P6 PPM / PNG
+(stdlib-zlib + batched NumPy unfiltering) / baseline JPEG (NumPy DCT +
+Huffman, functions/jpeg.py) and WAV PCM; remaining codec families
+(mp3/h264/...) raise NotImplementedError with a clear marker while
+everything Spark-side stays real and tested: schema, partitioning, UDF
+signatures, batch shapes, and a deterministic byte-level feature
+extractor standing in for a learned one.
 
 Reference analog: the reference stores embeddings as opaque BLOBs next to
 row data and reinterprets bytes at the boundary
@@ -49,9 +51,10 @@ def synthesize_media(docs: DataFrame, content_col: str = "content", id_col: str 
 
 
 # ---------------------------------------------------------------------------
-# Real decoders for uncompressed formats — pure NumPy, no codec libraries.
-# Compressed formats (png/jpeg/mp3/...) stay stubbed: this container ships
-# no codec libraries, and a hand-rolled inflate would be out of scope.
+# Real image decoders — pure NumPy + stdlib, no codec libraries: BMP and
+# P6 PPM (uncompressed), PNG (zlib inflate + batched unfiltering below),
+# baseline JPEG (functions/jpeg.py). Audio/video codecs beyond WAV PCM
+# stay stubbed.
 # ---------------------------------------------------------------------------
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
@@ -363,11 +366,19 @@ def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return pixels[ys[:, None], xs[None, :]]
 
 
+def _decode_jpeg_entry(payload: bytes) -> np.ndarray:
+    from dawnsearch_spark.functions.jpeg import decode_jpeg
+
+    return decode_jpeg(payload)
+
+
 _DECODERS = {
     "image/bmp": decode_bmp,
     "image/x-portable-pixmap": decode_ppm,
     "image/ppm": decode_ppm,
     "image/png": decode_png,
+    "image/jpeg": _decode_jpeg_entry,
+    "image/jpg": _decode_jpeg_entry,
 }
 
 
@@ -375,17 +386,16 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     """Decode an image payload to an RGB(A) uint8 array.
 
     Real decoders (no external codec library): BMP (24-bit uncompressed),
-    PPM (P6), and PNG (8-bit truecolor(+alpha), stdlib-zlib inflate +
-    NumPy unfiltering). 16-bit PCM audio decodes via :func:`decode_wav`.
-    Entropy-coded formats beyond DEFLATE (jpeg/mp3/h264...) remain
-    stubbed — this container has no codec libraries and a hand-rolled DCT
-    pipeline is out of scope; the error is explicit instead of guessing."""
+    PPM (P6), PNG (8-bit truecolor(+alpha), stdlib-zlib inflate + batched
+    NumPy unfiltering), and baseline JPEG (NumPy DCT + LUT-driven Huffman,
+    4:4:4/4:2:2/4:2:0 — functions/jpeg.py). 16-bit PCM audio decodes via
+    :func:`decode_wav`. Remaining entropy-coded formats (mp3/h264/...)
+    stay stubbed — the error is explicit instead of guessing."""
     dec = _DECODERS.get(media_type)
     if dec is None:
         raise NotImplementedError(
-            "media decode for entropy-coded formats (beyond DEFLATE) is "
-            "stubbed in this environment: no codec libraries available "
-            f"(requested type: {media_type!r})"
+            "media decode for this format is stubbed in this environment: "
+            f"no codec libraries available (requested type: {media_type!r})"
         )
     return dec(payload)
 
@@ -436,9 +446,13 @@ def synthesize_bmp_media(
     "bmp" (24-bit uncompressed) or "png" (zlib-compressed, PAETH-filtered
     like real-world encoders — proves the compressed decode path incl.
     the serial-in-x unfilter against the same closed-form oracle)."""
+    from dawnsearch_spark.functions.jpeg import encode_jpeg
+
     enc = {
         "bmp": (encode_bmp, "image/bmp"),
         "png": (lambda px: encode_png(px, filter_type=4), "image/png"),
+        # real-world default: quality-90 4:2:0 baseline JPEG
+        "jpeg": (lambda px: encode_jpeg(px, quality=90, subsampling="420"), "image/jpeg"),
     }[codec]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -513,6 +527,7 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
             payloads = [bytes(b) for b in pdf["media"]]
             groups: dict[tuple, list[int]] = {}
             png_raws: dict[int, np.ndarray] = {}
+            jpeg_imgs: dict[int, np.ndarray] = {}
             for i in range(n):
                 mt = mtypes[i]
                 if mt == "image/bmp":
@@ -526,6 +541,13 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
                     raw, h, w, c = _inflate_png(payloads[i])
                     png_raws[i] = raw
                     off, bup = c, False  # off slot carries channel count
+                elif mt in ("image/jpeg", "image/jpg"):
+                    # entropy decode is sequential per payload (Huffman);
+                    # the decoded pixels join the stacked stats math
+                    img = _decode_jpeg_entry(payloads[i])
+                    jpeg_imgs[i] = img
+                    h, w = img.shape[:2]
+                    off, bup = 0, False
                 else:
                     decode_media(payloads[i], mt)  # raises the stub error
                     raise AssertionError("unreachable")
@@ -552,6 +574,8 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
                     imgs = _unfilter_stack([png_raws[i] for i in idxs], h, w, off)[
                         :, :, :, :3
                     ]
+                elif mt in ("image/jpeg", "image/jpg"):
+                    imgs = np.stack([jpeg_imgs[i] for i in idxs])
                 else:  # P6 PPM
                     mat = np.stack(
                         [

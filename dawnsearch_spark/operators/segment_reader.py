@@ -36,10 +36,6 @@ import os
 META_COLUMNS = ["term", "range_id", "n_docs", "max_tf", "min_dl"]
 
 
-def is_local_dir(path: str) -> bool:
-    return "://" not in path and os.path.isdir(path)
-
-
 def _filesystem_for(path: str):
     """(pyarrow FileSystem, normalized root path) for a segments dir, or
     (None, None) when pyarrow cannot serve it (caller falls back to a

@@ -163,3 +163,61 @@ def test_mixed_light_heavy_across_generations(spark, cfg, tmp_path):
         got, want = _keyed(e1, q), _keyed(e2, q)
         assert [s for _, s in got] == [s for _, s in want], q
         _assert_same_nontied(got, want, q)
+
+
+def test_generation_union_keeps_partition_pruning(spark, cfg, tmp_path):
+    """The manifest-listed-generations union read must preserve bucket
+    partition pruning and term predicate pushdown — otherwise every query
+    over a tiered index scans all buckets of all generations."""
+    d = str(tmp_path / "idx")
+    base = with_content_sha(generate_corpus(spark, 200, seed=2, vocab_size=800))
+    build_index(spark, base, d, cfg, n_groups=1)
+    append_documents(
+        spark,
+        d,
+        with_content_sha(generate_corpus(spark, 60, seed=2, vocab_size=800, start=200)),
+        cfg,
+        n_groups=1,
+    )
+    from pyspark.sql import functions as F
+
+    seg = read_segments(spark, d)
+    q = seg.filter(F.col("bucket").isin([2, 5]) & F.col("term").isin(["parse", "http"]))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan and "IN (2" in plan, plan[:800]
+    assert "PushedFilters: [In(term" in plan, plan[:800]
+
+
+def test_incremental_dictionary_matches_full_aggregation(spark, cfg, tmp_path):
+    """Stage 1b on append folds only the NEW groups' run metadata into the
+    committed dictionary (O(dict + batch), never the whole runs dir). The
+    result must equal the full re-aggregation exactly — df, cf, and the
+    heavy flag under the new n_docs-scaled threshold."""
+    d = str(tmp_path / "idx")
+    base = with_content_sha(generate_corpus(spark, 250, seed=9, vocab_size=900))
+    build_index(spark, base, d, cfg, n_groups=2)
+    logs: list[str] = []
+    extra = with_content_sha(
+        generate_corpus(spark, 80, seed=9, vocab_size=900, start=250)
+    )
+    append_documents(spark, d, extra, cfg, n_groups=1, log=logs.append)
+    assert any("incrementally" in m for m in logs), logs
+    got = {
+        r["term"]: (r["df"], r["cf"], r["heavy"])
+        for r in spark.read.parquet(d + "/terms").collect()
+    }
+    # ground truth: aggregate ALL runs from scratch
+    from pyspark.sql import functions as F
+
+    eff = cfg.effective_heavy_df_threshold(330)
+    want = {
+        r["term"]: (r["df"], r["cf"], r["df"] > eff)
+        for r in spark.read.parquet(d + "/runs")
+        .groupBy("term")
+        .agg(
+            F.sum("n_docs").cast("long").alias("df"),
+            F.sum("tf_sum").cast("long").alias("cf"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -195,8 +195,17 @@ def test_image_codecs_roundtrip():
     assert decode_media(encode_bmp(grad), "image/bmp")[0, 0, 1] == 0
     small = resize_nearest(grad, 2, 2)
     assert small.shape == (2, 2, 3) and small[1, 0, 1] == 2
-    with pytest.raises(NotImplementedError):
+    # jpeg is a REAL decoder now (functions/jpeg.py); garbage raises a
+    # clear parse error, and genuinely-stubbed codecs still refuse
+    from dawnsearch_spark.functions.jpeg import encode_jpeg
+
+    jimg = np.full((9, 11, 3), [33, 66, 99], np.uint8)
+    jout = decode_media(encode_jpeg(jimg), "image/jpeg")
+    assert int(np.abs(jout.astype(int) - jimg.astype(int)).max()) <= 1
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff...", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00", "video/h264")
 
 
 def test_synthesized_bmp_decode_stats(spark):
@@ -229,7 +238,7 @@ def test_multimodal_plumbing(spark, small_corpus):
     assert all(len(r["frame"]) <= 256 for r in frames)
     assert {r["doc_id"] for r in frames} == {r["doc_id"] for r in media.limit(5).collect()}
     with pytest.raises(NotImplementedError):
-        decode_media(b"bytes", "image/jpeg")
+        decode_media(b"bytes", "audio/mp3")  # still-stubbed codec family
 
 
 def _connected_components(n_ids, pairs):
@@ -528,3 +537,24 @@ def test_decode_stats_paeth_png(spark):
         assert r["width"] == 16 and r["height"] == 8
         assert r["mean_r"] == pytest.approx(np.mean([(i + x) % 256 for x in range(16)]))
         assert r["corner_g"] == (2 * i) % 256
+
+
+def test_decode_stats_jpeg(spark):
+    """The stats path over real baseline JPEGs (q90 4:2:0): dimensions
+    exact, channel means within lossy-compression tolerance of the
+    closed-form pattern."""
+    from dawnsearch_spark.operators.multimodal import (
+        decode_image_stats,
+        synthesize_bmp_media,
+    )
+
+    docs = spark.range(8).withColumnRenamed("id", "doc_id")
+    stats = decode_image_stats(
+        synthesize_bmp_media(docs, width=16, height=8, codec="jpeg")
+    ).collect()
+    assert len(stats) == 8
+    for r in stats:
+        i = r["doc_id"]
+        assert (r["width"], r["height"]) == (16, 8)
+        want_r = np.mean([(i + x) % 256 for x in range(16)])
+        assert abs(r["mean_r"] - want_r) < 2.0, (i, r["mean_r"], want_r)
