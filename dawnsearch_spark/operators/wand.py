@@ -379,6 +379,61 @@ def _result_frame(top: list[tuple[float, int]], ctr: dict) -> pd.DataFrame:
     )
 
 
+def _group_rows_by_range(
+    rows, qmeta, stats: CorpusStats, cfg: EngineConfig
+) -> dict[int, dict[str, list[dict]]]:
+    """range_id -> term -> [bound-attached row dicts] (one per generation)."""
+    idf_by_term = {t: idf for t, _qtf, idf in qmeta}
+    by_range: dict[int, dict[str, list[dict]]] = {}
+    for r in rows:
+        rd = _attach_bounds(_row_to_dict(r), idf_by_term[r["term"]], stats, cfg)
+        by_range.setdefault(int(r["range_id"]), {}).setdefault(r["term"], []).append(rd)
+    return by_range
+
+
+def _score_ranges(
+    by_range: dict[int, dict[str, list[dict]]],
+    lights: list[LightList],
+    qmeta: list[tuple[str, int, float]],
+    theta0: float,
+    k: int,
+    stats: CorpusStats,
+    cfg: EngineConfig,
+    ctr: dict,
+) -> list[tuple[float, int]]:
+    """Shared WAND core for both the driver fast path and the range
+    tasks: visit doc-ranges in descending upper-bound order so the local
+    θ rises fast (reference analog: local top-k first, then pruned
+    remote merge, search_service.rs:201-236). Per term the range bound
+    is the MAX over its generation rows (disjoint doc sets), never the
+    sum. Returns the bounded (score, doc_id) top list."""
+    theta = theta0
+    found: list[tuple[float, int]] = []
+    order = sorted(
+        by_range.items(),
+        key=lambda kv: -sum(
+            qtf * max(r["row_ub"] for r in kv[1][t])
+            for t, qtf, _ in qmeta
+            if t in kv[1]
+        ),
+    )
+    for range_id, heavy_rows in order:
+        lo = range_id * cfg.range_size
+        hi = lo + cfg.range_size
+        surv, acc = _score_one_range(
+            lo, hi, heavy_rows, lights, qmeta, theta, stats, cfg, ctr
+        )
+        for d, s in zip(surv, acc):
+            found.append((float(s), int(d)))
+        if len(found) > 4 * k:
+            found.sort(key=lambda x: (-x[0], x[1]))
+            del found[4 * k :]
+        if len(found) >= k:
+            theta = max(theta, sorted((s for s, _ in found), reverse=True)[k - 1])
+    found.sort(key=lambda x: (-x[0], x[1]))
+    return found
+
+
 def make_range_scorer(
     lights: list[LightList],
     qmeta: list[tuple[str, int, float]],
@@ -387,49 +442,12 @@ def make_range_scorer(
     stats: CorpusStats,
     cfg: EngineConfig,
 ):
-    """applyInPandas function: scores every doc-range in its task group,
-    visiting ranges in descending upper-bound order so the local θ rises
-    fast (reference analog: local top-k first, then pruned remote merge,
-    search_service.rs:201-236)."""
-
-    idf_by_term = {t: idf for t, _qtf, idf in qmeta}
+    """applyInPandas wrapper over :func:`_score_ranges`."""
 
     def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
-        theta = theta0
         ctr = {key: 0 for key in _CTR_KEYS}
-        found: list[tuple[float, int]] = []  # (score, doc_id)
-        by_range: dict[int, dict[str, list[dict]]] = {}
-        for _, r in pdf.iterrows():
-            rd = _attach_bounds(
-                _row_to_dict(r), idf_by_term[r["term"]], stats, cfg
-            )
-            by_range.setdefault(int(r["range_id"]), {}).setdefault(
-                r["term"], []
-            ).append(rd)
-        # descending potential; per term the bound is the max over its
-        # generation rows (disjoint doc sets), never the sum
-        order = sorted(
-            by_range.items(),
-            key=lambda kv: -sum(
-                qtf * max(r["row_ub"] for r in kv[1][t])
-                for t, qtf, _ in qmeta
-                if t in kv[1]
-            ),
-        )
-        for range_id, heavy_rows in order:
-            lo = range_id * cfg.range_size
-            hi = lo + cfg.range_size
-            surv, acc = _score_one_range(
-                lo, hi, heavy_rows, lights, qmeta, theta, stats, cfg, ctr
-            )
-            for d, s in zip(surv, acc):
-                found.append((float(s), int(d)))
-            if len(found) > 4 * k:
-                found.sort(key=lambda x: (-x[0], x[1]))
-                del found[4 * k :]
-            if len(found) >= k:
-                theta = max(theta, sorted((s for s, _ in found), reverse=True)[k - 1])
-        found.sort(key=lambda x: (-x[0], x[1]))
+        by_range = _group_rows_by_range(pdf.to_dict("records"), qmeta, stats, cfg)
+        found = _score_ranges(by_range, lights, qmeta, theta0, k, stats, cfg, ctr)
         return _result_frame(found[:k], ctr)
 
     return scorer
@@ -533,8 +551,25 @@ def search_index(
     from dawnsearch_spark.index_build import read_segments
     from dawnsearch_spark.manifest import read_manifest
 
-    seg_all = seg_df if seg_df is not None else read_segments(spark, index_root)
-    seg = seg_all.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+    # Spark relations are built LAZILY: the serving fast path (pyarrow
+    # reads) never touches them, and even constructing a .filter() costs
+    # py4j round-trips per query
+    _rel: dict[str, DataFrame] = {}
+
+    def _seg_all() -> DataFrame:
+        if "all" not in _rel:
+            _rel["all"] = (
+                seg_df if seg_df is not None else read_segments(spark, index_root)
+            )
+        return _rel["all"]
+
+    def _seg() -> DataFrame:
+        if "seg" not in _rel:
+            _rel["seg"] = _seg_all().filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+            )
+        return _rel["seg"]
+
     # manifest-listed generation dirs only (a compaction crash may leave
     # unlisted garbage dirs — serving must never double-read postings)
     seg_manifest = read_manifest(index_root, "segments")
@@ -561,7 +596,7 @@ def search_index(
         )
         if rows is not None:
             return rows
-        q = seg if only_terms is None else seg_all.filter(
+        q = _seg() if only_terms is None else _seg_all().filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(want)
         )
         if range_id is not None:
@@ -694,15 +729,16 @@ def search_index(
         heavy_rows = _fetch(heavy_only=True)
         if not heavy_rows:
             return _topk_merge(ldocs, lscores, k)[:k_out]
-        scorer = make_range_scorer(lights, qmeta, theta0, k, stats, cfg)
-        result_pdf = scorer(pd.DataFrame(heavy_rows))
-        data = result_pdf[result_pdf["doc_id"] >= 0]
-        summ = result_pdf[result_pdf["doc_id"] < 0]
+        task_ctr = {key: 0 for key in _CTR_KEYS}
+        by_range = _group_rows_by_range(heavy_rows, qmeta, stats, cfg)
+        found = _score_ranges(
+            by_range, lights, qmeta, theta0, k, stats, cfg, task_ctr
+        )[:k]
         for key in _CTR_KEYS:
-            ctr[key] += int(summ[key].sum())
+            ctr[key] += task_ctr[key]
         return _topk_merge(
-            np.concatenate([ldocs, data["doc_id"].to_numpy(np.int64)]),
-            np.concatenate([lscores, data["score"].to_numpy(np.float64)]),
+            np.concatenate([ldocs, np.array([d for _, d in found], np.int64)]),
+            np.concatenate([lscores, np.array([s for s, _ in found], np.float64)]),
             k,
         )[:k_out]
 
@@ -769,9 +805,9 @@ def search_index(
 
     from dawnsearch_spark.operators.merge import SEGMENT_COLS, SEGMENT_SCHEMA
 
-    rows_df = seg.filter(F.col("range_id") >= 0).select(*SEGMENT_COLS)
+    rows_df = _seg().filter(F.col("range_id") >= 0).select(*SEGMENT_COLS)
     if overflow_terms:
-        ov = seg.filter(
+        ov = _seg().filter(
             (F.col("range_id") == -1) & F.col("term").isin(overflow_terms)
         ).select(*SEGMENT_COLS)
         split = ov.mapInPandas(_split_light_rows_gen(cfg), SEGMENT_SCHEMA)
