@@ -666,24 +666,47 @@ def build_index(
                 f"{gd['bytes']} bytes written, index untouched)"
             )
             if len(generations) > cfg.max_segment_generations:
-                # compaction: one full re-merge into a single generation,
-                # manifest first, then drop the old directories (readers
+                # SIZE-TIERED compaction (Lucene-style): merge only the
+                # smallest generations — the minimum count that restores
+                # the bound, greedily extended while the next-smallest is
+                # no larger than everything taken so far (similar-sized
+                # tiers merge together; the big old tiers are left
+                # untouched). A full re-merge every time the cap is hit
+                # would amortize to O(index) write IO per append; tiered
+                # merging amortizes to O(log) rewrites per doc. Manifest
+                # commits FIRST, then the old directories drop (readers
                 # only follow the manifest, so a crash in between leaves
                 # garbage dirs that the next build sweeps — never
-                # double-served postings)
+                # double-served postings).
+                by_size = sorted(generations, key=lambda g: (g["bytes"], g["gen"]))
+                m = len(generations) - cfg.max_segment_generations + 1
+                taken = by_size[:m]
+                acc = sum(g["bytes"] for g in taken)
+                for g in by_size[m:]:
+                    if g["bytes"] <= acc:
+                        taken.append(g)
+                        acc += g["bytes"]
+                    else:
+                        break
+                merge_groups = sorted(x for g in taken for x in g["groups"])
                 comp_gen = next_gen + 1
-                gd = _merge_groups_to_gen(sorted(all_group_ids), comp_gen)
-                old_gens = generations
-                generations = [gd]
+                gd = _merge_groups_to_gen(merge_groups, comp_gen)
+                taken_ids = {int(g["gen"]) for g in taken}
+                generations = [
+                    g for g in generations if int(g["gen"]) not in taken_ids
+                ] + [gd]
+                generations.sort(key=lambda g: int(g["gen"]))
                 _commit_segments(generations)
-                for g in old_gens:
+                for gid in taken_ids:
                     shutil.rmtree(
-                        os.path.join(paths.segments, f"gen={int(g['gen'])}"),
+                        os.path.join(paths.segments, f"gen={gid}"),
                         ignore_errors=True,
                     )
                 log(
-                    f"stage3 compacted {len(old_gens)} generations -> "
-                    f"gen {comp_gen} ({gd['rows']} rows)"
+                    f"stage3 size-tiered compaction: generations "
+                    f"{sorted(taken_ids)} (groups {merge_groups}) -> gen "
+                    f"{comp_gen} ({gd['rows']} rows); "
+                    f"{len(generations)} generations remain"
                 )
 
     seg_m = read_manifest(paths.root, "segments") or {}

@@ -221,3 +221,47 @@ def test_incremental_dictionary_matches_full_aggregation(spark, cfg, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_size_tiered_compaction_leaves_big_generation_untouched(spark, cfg, tmp_path):
+    """Lucene-style tiering: when the generation cap is hit, only the
+    SMALLEST generations merge — the big base generation's files stay
+    byte-identical across repeated appends+compactions (a full re-merge
+    would amortize to O(index) write IO per append), and results stay
+    identical to a fresh build."""
+    ccfg = replace(cfg, max_segment_generations=3)
+    d = str(tmp_path / "idx")
+    # base ≫ appends so the size tiers are unambiguous (at unit scale
+    # parquet per-file overhead can make a 30-doc generation look
+    # byte-comparable to a 300-doc one)
+    base = with_content_sha(generate_corpus(spark, 800, seed=4, vocab_size=1500))
+    build_index(spark, base, d, ccfg, n_groups=1)
+    paths = IndexPaths(d)
+    gen0_before = _snapshot(os.path.join(paths.segments, "gen=0"))
+    total = 800
+    for i in range(4):
+        extra = with_content_sha(
+            generate_corpus(spark, 20, seed=4, vocab_size=1500, start=total)
+        )
+        append_documents(spark, d, extra, ccfg, n_groups=1)
+        total += 20
+    gens = segment_generations(d)
+    assert len(gens) <= 3, gens
+    assert sorted(x for g in gens for x in g["groups"]) == list(range(5))
+    # the 300-doc base generation was never selected for compaction
+    assert any(int(g["gen"]) == 0 for g in gens), gens
+    assert _snapshot(os.path.join(paths.segments, "gen=0")) == gen0_before
+    # and the served results equal a from-scratch build
+    fresh = str(tmp_path / "fresh")
+    build_index(
+        spark,
+        with_content_sha(generate_corpus(spark, total, seed=4, vocab_size=1500)),
+        fresh,
+        ccfg,
+        n_groups=2,
+    )
+    e1, e2 = Engine(spark, d, ccfg), Engine(spark, fresh, ccfg)
+    for q in QUERIES:
+        got, want = _keyed(e1, q), _keyed(e2, q)
+        assert [s for _, s in got] == [s for _, s in want], q
+        _assert_same_nontied(got, want, q)
