@@ -425,6 +425,17 @@ def q_repetition(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"), col="text")
 
 
+def q_quality_filter(spark, sf_dir):
+    """Composite Gopher/C4-style pre-training quality gate with per-rule
+    flags (token-count window, mean word length, alpha ratio, stopword
+    presence, repetition caps) — one codegen'd scan, no UDF; the DuckDB
+    twin recomputes every rule from first principles."""
+    from dawnsearch_spark.operators.text_analysis import gopher_quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality_filter(docs, col="text")
+
+
 def q_lang_token_stats(spark, sf_dir):
     """Per-lang token statistics (A3 counters analog)."""
     docs = _t(spark, sf_dir, "documents")
@@ -880,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stream_dedup": q_stream_dedup,
         "repetition": q_repetition,
+        "quality_filter": q_quality_filter,
         "lang_token_stats": q_lang_token_stats,
         "sha_integrity": q_sha_integrity,
         "capacity_guard": q_capacity_guard,
@@ -1174,6 +1186,41 @@ def oracle_sql() -> dict[str, str]:
                          ELSE (len(words) - len(list_distinct(words)))::DOUBLE
                               / len(words) END, 6) AS dup_word_ratio
             FROM base
+        """,
+        "quality_filter": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     {ws} AS words,
+                     list_filter(list_transform(str_split(text, chr(10)),
+                                                l -> trim(l)), l -> l <> '') AS lines
+              FROM documents),
+            feat AS (
+              SELECT doc_id,
+                     len(words)::BIGINT AS n_tokens,
+                     CASE WHEN len(words) = 0 THEN 0.0
+                          ELSE list_aggregate(list_transform(words, w -> length(w)),
+                                              'sum')::DOUBLE / len(words) END AS mwl,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                               / length(text) END AS ar,
+                     len(list_filter(words, x -> x IN ({stop_in})))::BIGINT AS stop_hits,
+                     CASE WHEN len(lines) = 0 THEN 0.0
+                          ELSE (len(lines) - len(list_distinct(lines)))::DOUBLE
+                               / len(lines) END AS dlr,
+                     CASE WHEN len(words) = 0 THEN 0.0
+                          ELSE (len(words) - len(list_distinct(words)))::DOUBLE
+                               / len(words) END AS dwr
+              FROM base)
+            SELECT doc_id, n_tokens, round(mwl, 6) AS mean_word_len,
+                   (n_tokens BETWEEN 20 AND 100000)::INT AS ok_len,
+                   (mwl >= 2.0 AND mwl <= 12.0)::INT AS ok_word_len,
+                   (ar >= 0.25)::INT AS ok_alpha,
+                   (stop_hits >= 2)::INT AS ok_stop,
+                   (dlr <= 0.30 AND dwr <= 0.60)::INT AS ok_rep,
+                   (n_tokens BETWEEN 20 AND 100000 AND mwl >= 2.0 AND mwl <= 12.0
+                    AND ar >= 0.25 AND stop_hits >= 2
+                    AND dlr <= 0.30 AND dwr <= 0.60)::INT AS keep
+            FROM feat
         """,
         # the streaming run's duplicate arrivals are byte-identical rows,
         # so exactly-first-per-key == DISTINCT over the arrival range

@@ -230,6 +230,7 @@ def main() -> None:
         "window_rank",
         "topk_orders",
         "text_features",
+        "quality_filter",
         "fingerprints",
         "cosine_topk",
         "sha_integrity",

@@ -157,6 +157,79 @@ def repetition_stats(df: DataFrame, col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def gopher_quality_filter(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_ratio: float = 0.25,
+    min_stop_hits: int = 2,
+    max_dup_line_ratio: float = 0.30,
+    max_dup_word_ratio: float = 0.60,
+) -> DataFrame:
+    """Composite Gopher/C4-style document quality filter — the standard
+    pre-training corpus gate, emitted with PER-RULE flags so a pipeline
+    can audit why each document passed or failed (and a driver oracle can
+    check every rule independently):
+
+    * ``ok_len``       token count within [min_tokens, max_tokens];
+    * ``ok_word_len``  mean word length within bounds (symbol soup and
+                       minified blobs fall outside);
+    * ``ok_alpha``     alphabetic character ratio floor;
+    * ``ok_stop``      at least ``min_stop_hits`` stopword tokens (the
+                       Gopher "contains common words" prose signal);
+    * ``ok_rep``       duplicate-line and duplicate-word ratios under
+                       their caps (boilerplate / spam padding);
+    * ``keep``         conjunction of all rules.
+
+    One scan, all native Column expressions inside codegen — no UDF, no
+    shuffle; at 100 TB this is a map-only pass whose output predicate
+    pushes straight into the next stage's scan."""
+    c = F.col(col)
+    words = F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda w: w != F.lit(""))
+    n = F.size(words)
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mwl = F.when(n == 0, F.lit(0.0)).otherwise(
+        sum_len.cast("double") / n.cast("double")
+    )
+    ar = alpha_ratio(c)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(EN_STOPWORDS)))
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda l: F.trim(l)), lambda l: l != F.lit("")
+    )
+    n_lines = F.size(lines)
+    dlr = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        (n_lines - F.size(F.array_distinct(lines))).cast("double")
+        / n_lines.cast("double")
+    )
+    dwr = F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(words))).cast("double") / n.cast("double")
+    )
+    ok_len = (n >= min_tokens) & (n <= max_tokens)
+    ok_word_len = (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len)
+    ok_alpha = ar >= min_alpha_ratio
+    ok_stop = stop_hits >= min_stop_hits
+    ok_rep = (dlr <= max_dup_line_ratio) & (dwr <= max_dup_word_ratio)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        ok_len.cast("int").alias("ok_len"),
+        ok_word_len.cast("int").alias("ok_word_len"),
+        ok_alpha.cast("int").alias("ok_alpha"),
+        ok_stop.cast("int").alias("ok_stop"),
+        ok_rep.cast("int").alias("ok_rep"),
+        (ok_len & ok_word_len & ok_alpha & ok_stop & ok_rep)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
 def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     """All features at once (single scan, codegen'd)."""
     return (

@@ -558,3 +558,31 @@ def test_decode_stats_jpeg(spark):
         assert (r["width"], r["height"]) == (16, 8)
         want_r = np.mean([(i + x) % 256 for x in range(16)])
         assert abs(r["mean_r"] - want_r) < 2.0, (i, r["mean_r"], want_r)
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each rule must fire on its engineered violation and the composite
+    keep must be the conjunction."""
+    from dawnsearch_spark.operators.text_analysis import gopher_quality_filter
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and it runs on "
+        "with many plain words that look like ordinary prose for a test "
+        "document of reasonable length and variety in this corpus here"
+    )
+    rows = [
+        (0, good),                                    # passes everything
+        (1, "short text only"),                       # too few tokens
+        (2, good + " " + "pneumonoultramicroscopics " * 40),  # long words
+        (3, ("@@ ## $$ %% ^^ && ** (( )) __ ++ == " * 10) + "the of a"),  # low alpha
+        (4, " ".join(f"tok{i}" for i in range(60))),  # no stopwords
+        (5, good + ("\nsame line of boilerplate" * 40)),  # dup lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+    assert got[0]["keep"] == 1, got[0]
+    assert got[1]["ok_len"] == 0 and got[1]["keep"] == 0
+    assert got[2]["ok_word_len"] == 0 and got[2]["keep"] == 0
+    assert got[3]["ok_alpha"] == 0 and got[3]["keep"] == 0
+    assert got[4]["ok_stop"] == 0 and got[4]["keep"] == 0
+    assert got[5]["ok_rep"] == 0 and got[5]["keep"] == 0
