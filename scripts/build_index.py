@@ -17,7 +17,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:  # on a cluster the package arrives via --py-files (zip on sys.path)
+    import dawnsearch_spark  # noqa: F401
+except ImportError:  # local dev convenience: resolve from the repo checkout
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dawnsearch_spark.config import EngineConfig, load_config
 from dawnsearch_spark.corpus import REFERENCE_QUERIES, generate_corpus
