@@ -95,7 +95,17 @@ def read_segments(spark: SparkSession, root: str) -> DataFrame:
     gens = segment_generations(root)
     if not gens:
         return spark.read.parquet(paths.segments)
-    dirs = [os.path.join(paths.segments, f"gen={int(g['gen'])}") for g in gens]
+    # rows == 0 generations (an all-empty-content append) have no
+    # schema-bearing files — they carry nothing and are skipped
+    dirs = [
+        os.path.join(paths.segments, f"gen={int(g['gen'])}")
+        for g in gens
+        if int(g.get("rows", 0)) > 0
+    ]
+    if not dirs:
+        from dawnsearch_spark.operators.merge import SEGMENT_SCHEMA
+
+        return spark.createDataFrame([], SEGMENT_SCHEMA)
     return spark.read.option("basePath", paths.segments).parquet(*dirs)
 
 
@@ -581,16 +591,27 @@ def build_index(
             .parquet(gdir)
         )
         runs.unpersist()
-        back = spark.read.parquet(gdir)
-        agg = back.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum("n_docs").alias("postings"),
-        ).collect()[0]
+        import glob as _glob
+
+        # an all-empty-content batch produces ZERO segment rows: the
+        # partitionBy write then leaves no schema-bearing file, so the
+        # read-back would fail — record a 0-row generation instead
+        # (readers skip rows == 0 generations entirely)
+        files = _glob.glob(os.path.join(gdir, "bucket=*", "*.parquet"))
+        if files:
+            back = spark.read.parquet(gdir)
+            agg = back.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n_docs").alias("postings"),
+            ).collect()[0]
+            rows, postings = int(agg["rows"]), int(agg["postings"] or 0)
+        else:
+            rows, postings = 0, 0
         return {
             "gen": int(gen_id),
             "groups": [int(g) for g in group_ids],
-            "rows": int(agg["rows"]),
-            "postings": int(agg["postings"] or 0),
+            "rows": rows,
+            "postings": postings,
             "bytes": dir_bytes(gdir),
         }
 

@@ -574,7 +574,11 @@ def search_index(
     # unlisted garbage dirs — serving must never double-read postings)
     seg_manifest = read_manifest(index_root, "segments")
     if seg_manifest is not None and "generations" in seg_manifest:
-        gens = [int(g["gen"]) for g in (seg_manifest.get("generations") or [])]
+        gens = [
+            int(g["gen"])
+            for g in (seg_manifest.get("generations") or [])
+            if int(g.get("rows", 0)) > 0  # empty gens have no files
+        ]
     else:
         gens = None  # legacy layout: autodetect
 

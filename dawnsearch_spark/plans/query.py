@@ -134,7 +134,11 @@ class Engine:
             read_segment_table,
         )
 
-        gens = [int(g["gen"]) for g in segment_generations(self.paths.root)]
+        gens = [
+            int(g["gen"])
+            for g in segment_generations(self.paths.root)
+            if int(g.get("rows", 0)) > 0
+        ]
         tbl = read_segment_table(self.paths.segments, columns=META_COLUMNS, gens=gens)
         if tbl is not None:  # pyarrow-readable: zero Spark jobs, columnar
             cols = {c: tbl.column(c).to_numpy(zero_copy_only=False) for c in META_COLUMNS}

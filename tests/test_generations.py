@@ -265,3 +265,37 @@ def test_size_tiered_compaction_leaves_big_generation_untouched(spark, cfg, tmp_
         got, want = _keyed(e1, q), _keyed(e2, q)
         assert [s for _, s in got] == [s for _, s in want], q
         _assert_same_nontied(got, want, q)
+
+
+def test_append_of_tokenless_docs(spark, cfg, tmp_path):
+    """An append whose batch yields ZERO postings (empty content) must
+    commit a 0-row generation without crashing, leave search untouched,
+    and keep the forward index / stats consistent."""
+    d = str(tmp_path / "idx")
+    build_index(
+        spark,
+        with_content_sha(generate_corpus(spark, 100, seed=3, vocab_size=500)),
+        d,
+        cfg,
+        n_groups=1,
+    )
+    e = Engine(spark, d, cfg)
+    before = e.search("parse http request")
+    empty = with_content_sha(
+        spark.createDataFrame(
+            [(f"zr{i}", f"zp{i}", "c0", "py", "") for i in range(5)],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    )
+    counters = append_documents(spark, d, empty, cfg)
+    assert counters["appended"] == 5
+    gens = segment_generations(d)
+    assert any(int(g["rows"]) == 0 for g in gens), gens
+    e.refresh()
+    assert e.stats_.n_docs == 105
+    got = e.search("parse http request")
+    # N moved 100 -> 105, so idf/avgdl (and near-ties) may reorder — the
+    # contract is identity with a FRESH Engine over the same on-disk state
+    fresh = Engine(spark, d, cfg).search("parse http request")
+    assert got == fresh
+    assert {d_ for d_, _ in got} == {d_ for d_, _ in before} or len(got) == len(before)
