@@ -110,6 +110,17 @@ class EngineConfig:
     id_cols: tuple[str, ...] = ("repo", "path", "commit")
     content_col: str = "content"
 
+    # Delete run-group directories once their postings are recoverable
+    # from the index itself (group folded into the committed dictionary
+    # AND merged into a committed generation). Compaction and the stage-1b
+    # dictionary fallback re-read segment rows when runs are gone, so
+    # nothing downstream needs them — retaining runs/ forever costs a
+    # second copy of the index (~2x storage at 100 TB). Off by default:
+    # retained runs let a fingerprint-change rebuild skip stage 2.
+    # Deliberately NOT part of the config fingerprint (storage policy,
+    # not index layout).
+    gc_runs: bool = False
+
     # --- checkpoint / resume ---
     checkpoint_dir: str = ""
 
@@ -154,7 +165,9 @@ def load_config(toml_path: str | None = None) -> EngineConfig:
         if env_key in os.environ:
             raw = os.environ[env_key]
             ftype = str(f.type)
-            if "float" in ftype:
+            if "bool" in ftype:
+                values[f.name] = raw.strip().lower() in ("1", "true", "yes", "on")
+            elif "float" in ftype:
                 values[f.name] = float(raw)
             elif "int" in ftype:  # includes "int | None" (e.g. heavy_df_threshold)
                 values[f.name] = None if raw.lower() in ("", "none") else int(raw)

@@ -159,6 +159,41 @@ def _plan_groups(
     return plan
 
 
+def gc_run_dirs(root: str, log=lambda m: None) -> list[int]:
+    """Delete run-group directories whose postings are fully recoverable
+    from the index itself: the group is folded into the committed term
+    dictionary AND merged into a committed segment generation. Compaction
+    and the stage-1b dictionary fallback source from segment rows when a
+    run dir is gone, so runs/ stops being load-bearing the moment its
+    groups are merged — retaining it forever doubles index storage
+    (the 100-TB cost-of-ownership flaw, VERDICT r4 #1). The runs_group_*
+    manifests are KEPT: they drive the resume plan (committed spans).
+    Returns the swept group ids."""
+    import shutil
+
+    paths = IndexPaths(root)
+    terms_m = read_manifest(root, "terms") or {}
+    seg_m = read_manifest(root, "segments") or {}
+    if not terms_m or not seg_m or terms_m.get("fingerprint") != seg_m.get(
+        "fingerprint"
+    ):
+        return []
+    dict_groups = {int(g) for g in terms_m.get("groups", [])}
+    gen_groups = {
+        int(x) for g in (seg_m.get("generations") or []) for x in g["groups"]
+    }
+    eligible = dict_groups & gen_groups
+    swept: list[int] = []
+    if os.path.isdir(paths.runs):
+        for d in sorted(os.listdir(paths.runs)):
+            if d.startswith("group=") and int(d.split("=", 1)[1]) in eligible:
+                shutil.rmtree(os.path.join(paths.runs, d), ignore_errors=True)
+                swept.append(int(d.split("=", 1)[1]))
+    if swept:
+        log(f"gc_runs: reclaimed run dirs for groups {swept}")
+    return swept
+
+
 def load_stats(root: str) -> CorpusStats:
     m = read_manifest(root, "stats")
     if m is None:
@@ -467,10 +502,64 @@ def build_index(
                 f"folded into the committed dictionary (old runs untouched)"
             )
         else:
-            if os.path.isdir(paths.runs):
-                runs_meta = spark.read.parquet(paths.runs).select(
-                    "term", "n_docs", "tf_sum"
+            # Full re-aggregation. Sources per GENERATION all-or-nothing
+            # (a generation's segment rows cannot be attributed to
+            # individual groups): any generation with a GC'd member group
+            # contributes its segment rows — df = Σ n_docs and
+            # cf = Σ tf_sum hold identically there (disjoint doc sets,
+            # rows carry the same tf_sum partial as runs) — and every
+            # group outside those generations must still have its run dir.
+            def _run_dir(g: int) -> str:
+                return os.path.join(paths.runs, f"group={g}")
+
+            seg_m_now = read_manifest(paths.root, "segments") or {}
+            gen_list = (
+                list(seg_m_now.get("generations") or [])
+                if seg_m_now.get("fingerprint") == fp
+                else []
+            )
+            used_gens: list[dict] = []
+            gen_covered: set[int] = set()
+            for gdict in gen_list:
+                gids = {int(x) for x in gdict["groups"]}
+                if not all(os.path.isdir(_run_dir(g)) for g in gids):
+                    used_gens.append(gdict)
+                    gen_covered |= gids
+            runs_groups = sorted(g for g in all_ids if g not in gen_covered)
+            missing = [g for g in runs_groups if not os.path.isdir(_run_dir(g))]
+            if missing:
+                raise FileNotFoundError(
+                    f"dictionary rebuild: run groups {missing} have neither "
+                    "run dirs nor a committed segment generation"
                 )
+            parts = []
+            if runs_groups:
+                parts.append(
+                    spark.read.option("basePath", paths.runs)
+                    .parquet(*[_run_dir(g) for g in runs_groups])
+                    .select("term", "n_docs", "tf_sum")
+                )
+            seg_dirs = [
+                os.path.join(paths.segments, f"gen={int(g['gen'])}")
+                for g in used_gens
+                if int(g.get("rows", 0)) > 0
+            ]
+            if seg_dirs:
+                parts.append(
+                    spark.read.option("basePath", paths.segments)
+                    .parquet(*seg_dirs)
+                    .select("term", "n_docs", "tf_sum")
+                )
+            if parts:
+                runs_meta = parts[0]
+                for p in parts[1:]:
+                    runs_meta = runs_meta.unionByName(p)
+                if used_gens:
+                    log(
+                        "stage1b dictionary rebuilt from segment rows for "
+                        f"GC'd groups {sorted(gen_covered)}"
+                        + (f" + run groups {runs_groups}" if runs_groups else "")
+                    )
             else:  # empty corpus: no runs were written
                 runs_meta = spark.createDataFrame(
                     [], "term string, n_docs long, tf_sum long"
@@ -548,10 +637,59 @@ def build_index(
                     shutil.rmtree(os.path.join(paths.segments, d), ignore_errors=True)
                     log(f"stage3: removed uncommitted segment dir {d}")
 
-    def _merge_groups_to_gen(group_ids: list[int], gen_id: int) -> dict:
-        """Merge the given run groups into segments/gen=<gen_id>."""
+    def _merge_groups_to_gen(
+        group_ids: list[int], gen_id: int, source_gens: list[dict] | None = None
+    ) -> dict:
+        """Merge the given run groups into segments/gen=<gen_id>.
+
+        ``source_gens`` (committed generation dicts covering exactly
+        ``group_ids``) lets the merge source from the POSTINGS ALREADY IN
+        those generations' segment rows instead of runs/: a segment row's
+        doc/tf/dl blobs are valid run blobs (same delta+varbyte streams —
+        block-leading gaps are plain gaps, see codec.decode_all_postings),
+        so the rows reinterpret as runs with salt = range_id and
+        group = gen, zero re-encoding. The runs-sourced path is kept
+        whenever every group's run dir still exists (byte-identical
+        output either way: both decode to the same disjoint docID-sorted
+        posting sets, and the merge + block pack are deterministic); with
+        ``cfg.gc_runs`` the dirs are gone and compaction runs entirely
+        off the index itself — runs/ storage is reclaimed instead of
+        doubling the index forever (VERDICT r4 #1)."""
         gdirs = [os.path.join(paths.runs, f"group={g}") for g in group_ids]
-        runs_raw = spark.read.option("basePath", paths.runs).parquet(*gdirs)
+        if source_gens is not None and not all(os.path.isdir(d) for d in gdirs):
+            src_dirs = [
+                os.path.join(paths.segments, f"gen={int(g['gen'])}")
+                for g in source_gens
+                if int(g.get("rows", 0)) > 0
+            ]
+            src_groups = sorted(int(x) for g in source_gens for x in g["groups"])
+            if src_groups != sorted(int(g) for g in group_ids):
+                raise RuntimeError(
+                    f"segment-sourced merge needs generations covering exactly "
+                    f"the requested groups (gens cover {src_groups}, "
+                    f"requested {sorted(group_ids)})"
+                )
+            if src_dirs:
+                runs_raw = (
+                    spark.read.option("basePath", paths.segments)
+                    .parquet(*src_dirs)
+                    .select(
+                        "term",
+                        F.col("range_id").alias("salt"),
+                        "n_docs",
+                        "tf_sum",
+                        "doc_blob",
+                        "tf_blob",
+                        "dl_blob",
+                        F.col("gen").cast("long").alias("group"),
+                    )
+                )
+            else:  # all-empty source generations
+                from dawnsearch_spark.operators.postings import RUN_SCHEMA
+
+                runs_raw = spark.createDataFrame([], RUN_SCHEMA + ", group long")
+        else:
+            runs_raw = spark.read.option("basePath", paths.runs).parquet(*gdirs)
         # Within ONE generation a term is served either as one light row
         # or as range rows, never both (uniform layout per gen keeps the
         # merge single-pass); ACROSS generations a term may be mixed —
@@ -711,7 +849,10 @@ def build_index(
                         break
                 merge_groups = sorted(x for g in taken for x in g["groups"])
                 comp_gen = next_gen + 1
-                gd = _merge_groups_to_gen(merge_groups, comp_gen)
+                # source_gens: when the taken groups' run dirs are gone
+                # (gc_runs), compaction re-reads the taken generations'
+                # own segment rows — the index is self-sufficient
+                gd = _merge_groups_to_gen(merge_groups, comp_gen, source_gens=taken)
                 taken_ids = {int(g["gen"]) for g in taken}
                 generations = [
                     g for g in generations if int(g["gen"]) not in taken_ids
@@ -729,6 +870,9 @@ def build_index(
                     f"{comp_gen} ({gd['rows']} rows); "
                     f"{len(generations)} generations remain"
                 )
+
+    if cfg.gc_runs:
+        gc_run_dirs(paths.root, log=log)
 
     seg_m = read_manifest(paths.root, "segments") or {}
     return {

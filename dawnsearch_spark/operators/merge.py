@@ -38,7 +38,7 @@ from dawnsearch_spark.config import EngineConfig
 from dawnsearch_spark.functions.codec import encode_posting_blocks, varbyte_decode
 
 SEGMENT_SCHEMA = (
-    "term string, bucket int, range_id long, n_docs long, "
+    "term string, bucket int, range_id long, n_docs long, tf_sum long, "
     "doc_blob binary, tf_blob binary, dl_blob binary, "
     "block_last array<long>, block_doc_off array<long>, block_tf_off array<long>, "
     "block_dl_off array<long>, front_tf array<long>, front_dl array<long>, "
@@ -46,7 +46,7 @@ SEGMENT_SCHEMA = (
 )
 
 SEGMENT_COLS = [
-    "term", "bucket", "range_id", "n_docs",
+    "term", "bucket", "range_id", "n_docs", "tf_sum",
     "doc_blob", "tf_blob", "dl_blob",
     "block_last", "block_doc_off", "block_tf_off", "block_dl_off",
     "front_tf", "front_dl", "front_off", "max_tf", "min_dl",
@@ -103,6 +103,11 @@ def _make_segment_row(
         "bucket": term_bucket_py(term, cfg.num_term_buckets),
         "range_id": int(range_id),
         "n_docs": int(packed["n_docs"]),
+        # per-row collection-frequency partial, mirroring the run rows'
+        # tf_sum: lets the term dictionary (df = Σ n_docs, cf = Σ tf_sum)
+        # be rebuilt from segment METADATA alone, so the runs directory
+        # stops being load-bearing once its groups are merged (gc_runs)
+        "tf_sum": int(tfs.sum()),
         "doc_blob": packed["doc_blob"],
         "tf_blob": packed["tf_blob"],
         "dl_blob": packed["dl_blob"],
