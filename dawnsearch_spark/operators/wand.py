@@ -108,6 +108,10 @@ def new_counters() -> dict:
         "seed_blocks_decoded": 0,
         "seed_postings_scored": 0,
         "theta_seed": 0.0,
+        # "range" when the best range fit the driver budget and was scored
+        # whole, "block" when it did not and the single best block of its
+        # best row seeded θ instead (the 100x-index shape), "" otherwise
+        "theta_seed_mode": "",
         # light-list LRU (Engine serving only; 0/0 when no cache in play)
         "light_cache_hits": 0,
         "light_cache_misses": 0,
@@ -155,6 +159,18 @@ class LightListCache:
         self._d.move_to_end(term)
         self.hits += 1
         return rows
+
+    def drop_terms(self, terms) -> int:
+        """Evict specific terms (incremental refresh: only terms that
+        gained a light row in a NEW generation go stale — every other
+        cached list still matches the on-disk rows). Returns evictions."""
+        n = 0
+        for t in terms:
+            if t in self._d:
+                del self._d[t]
+                self._total -= self._postings.pop(t)
+                n += 1
+        return n
 
     def put(self, term: str, rows: list[tuple], n_postings: int) -> None:
         if n_postings > self.max_postings:
@@ -775,6 +791,7 @@ def search_index(
             range_ub[rid] = range_ub.get(rid, 0.0) + v
         best_rid = max(sorted(range_ub), key=lambda rid: range_ub[rid])
         if cum + range_postings[best_rid] <= budget:
+            ctr["theta_seed_mode"] = "range"
             ctr["driver_postings_decoded"] += range_postings[best_rid]
             seed_rows = _fetch(range_id=best_rid)
             seed_dict: dict[str, list[dict]] = {}
@@ -805,6 +822,58 @@ def search_index(
             )
             if len(merged_seed) >= k:
                 theta0 = max(theta0, merged_seed[k - 1][1])
+        else:
+            # The best range exceeds the driver budget — the shape of a
+            # 100x index, where the hottest range outgrows any fixed
+            # driver budget (with no seed the fan-out started at θ≈0 and
+            # ranges_pruned stayed 0 two rounds running). Seed from the
+            # single best BLOCK instead: fetch only the highest-bound row
+            # of the best range and exactly score its best block
+            # (≤ block_size postings — always affordable, whatever the
+            # budget). A single-term block score is a LOWER bound of the
+            # doc's full score (BM25 contributions are nonnegative), so
+            # θ = kth best of (light ∪ block) stays admissible, and the
+            # final keep-max merge is safe: a doc the tasks score keeps
+            # its exact score (≥ the partial), and a doc the tasks prune
+            # has full score < θ, which its partial ≤ full can never
+            # displace from the top-k.
+            ctr["theta_seed_mode"] = "block"
+            best_meta = max(
+                (r for r in heavy_meta if int(r["range_id"]) == best_rid),
+                key=lambda r: (
+                    bag[r["term"]]
+                    * _meta_row_ub(r, idf_by_term[r["term"]], stats, cfg),
+                    r["term"],
+                ),
+            )
+            seed_term = best_meta["term"]
+            best_row, best_b, best_ub = None, -1, -1.0
+            for r in _fetch(range_id=best_rid, only_terms=[seed_term]):
+                rd = _attach_bounds(
+                    _row_to_dict(r), idf_by_term[seed_term], stats, cfg
+                )
+                b = int(np.argmax(rd["block_ub"]))
+                if float(rd["block_ub"][b]) > best_ub:
+                    best_row, best_b, best_ub = rd, b, float(rd["block_ub"][b])
+            if best_row is not None:
+                from dawnsearch_spark.functions.codec import decode_block
+
+                docs_b, tfs_b, dls_b = decode_block(best_row, best_b, cfg.block_size)
+                seed_docs = docs_b
+                seed_scores = bag[seed_term] * bm25_np(
+                    tfs_b, dls_b, idf_by_term[seed_term], stats.avgdl, cfg.k1, cfg.b
+                )
+                # bounded seed work is tracked under the seed_* counters
+                # (a deliberate ≤ block_size exception to the budget)
+                ctr["seed_blocks_decoded"] += 1
+                ctr["seed_postings_scored"] += int(len(docs_b))
+                merged_seed = _topk_merge(
+                    np.concatenate([ldocs, seed_docs]),
+                    np.concatenate([lscores, seed_scores]),
+                    k,
+                )
+                if len(merged_seed) >= k:
+                    theta0 = max(theta0, merged_seed[k - 1][1])
     ctr["theta_seed"] = theta0
 
     from dawnsearch_spark.operators.merge import SEGMENT_COLS, SEGMENT_SCHEMA

@@ -92,6 +92,22 @@ class TermMeta:
             for j in range(s, e)
         ]
 
+    def columns(self) -> dict:
+        """Per-row column arrays (term repeated per row) — the raw
+        material for an INCREMENTAL rebuild: new generations' rows are
+        concatenated onto these and re-sorted in memory, so a refresh
+        after an append never re-reads the committed generations' files."""
+        import numpy as np
+
+        reps = np.diff(self._starts)
+        return {
+            "term": np.repeat(self._terms, reps),
+            "range_id": self._range_id,
+            "n_docs": self._n_docs,
+            "max_tf": self._max_tf,
+            "min_dl": self._min_dl,
+        }
+
 
 class Engine:
     def __init__(self, spark: SparkSession, index_root: str, cfg: EngineConfig | None = None):
@@ -112,6 +128,8 @@ class Engine:
         # the driver fast path is then exactly ONE job per search. Loaded
         # only while the segment-row count fits max_driver_meta_rows; a
         # bigger index falls back to a per-query column-pruned collect.
+        self._meta_gens: list[int] = []
+        self.last_meta_load: dict = {}
         self._meta_by_term = self._load_meta()
         self._light_cache = self._new_light_cache()
 
@@ -122,9 +140,25 @@ class Engine:
             return None
         return LightListCache(self.cfg.light_cache_postings)
 
-    def _load_meta(self) -> TermMeta | None:
+    def _load_meta(
+        self, prev: TermMeta | None = None, prev_gens: list[int] | None = None
+    ) -> TermMeta | None:
+        """Build the driver term dictionary. With ``prev``/``prev_gens``
+        (a live dictionary and the generation ids it covers) the load is
+        INCREMENTAL whenever the committed generation list is a superset
+        of the covered one — i.e. after a plain append: only the NEW
+        generations' metadata files are read and folded into the
+        in-memory arrays (generations are immutable once committed, so
+        the covered rows cannot have changed). A compaction changes the
+        generation list non-monotonically and falls back to a full load.
+        ``self.last_meta_load`` records {mode, gens_read,
+        new_light_terms} — the refresh-cost observability counter."""
+        import numpy as np
+
         from dawnsearch_spark.manifest import read_manifest
 
+        self.last_meta_load = {"mode": "none", "gens_read": [], "new_light_terms": set()}
+        self._meta_gens = []
         seg_m = read_manifest(self.paths.root, "segments") or {}
         rows = seg_m.get("rows")
         if rows is None or int(rows) > self.cfg.max_driver_meta_rows:
@@ -139,17 +173,57 @@ class Engine:
             for g in segment_generations(self.paths.root)
             if int(g.get("rows", 0)) > 0
         ]
-        tbl = read_segment_table(self.paths.segments, columns=META_COLUMNS, gens=gens)
-        if tbl is not None:  # pyarrow-readable: zero Spark jobs, columnar
-            cols = {c: tbl.column(c).to_numpy(zero_copy_only=False) for c in META_COLUMNS}
-        else:  # one column-pruned Spark job
-            import numpy as np
+        if prev is not None and prev_gens is not None and set(prev_gens) <= set(gens):
+            read_gens = [g for g in gens if g not in set(prev_gens)]
+            mode = "incremental"
+        else:
+            prev, read_gens, mode = None, gens, "full"
 
-            recs = self._segments.select(*META_COLUMNS).collect()
+        cols = None
+        if read_gens:
+            tbl = read_segment_table(
+                self.paths.segments, columns=META_COLUMNS, gens=read_gens
+            )
+            if tbl is not None:  # pyarrow-readable: zero Spark jobs, columnar
+                cols = {
+                    c: tbl.column(c).to_numpy(zero_copy_only=False)
+                    for c in META_COLUMNS
+                }
+            else:
+                # pyarrow cannot mount the dir — no per-gen pruned read;
+                # one full column-pruned Spark job instead
+                prev, read_gens, mode = None, gens, "full"
+                recs = self._segments.select(*META_COLUMNS).collect()
+                cols = {
+                    c: np.asarray(
+                        [r[c] for r in recs], dtype=object if c == "term" else None
+                    )
+                    for c in META_COLUMNS
+                }
+        if cols is None:  # incremental refresh with nothing new to read
             cols = {
-                c: np.asarray([r[c] for r in recs], dtype=object if c == "term" else None)
+                c: np.asarray([], dtype=object if c == "term" else np.int64)
                 for c in META_COLUMNS
             }
+
+        new_light = {
+            t for t, rid in zip(cols["term"], np.asarray(cols["range_id"]))
+            if int(rid) == -1
+        }
+        if prev is not None:
+            old = prev.columns()
+            cols = {
+                c: np.concatenate([np.asarray(old[c]), np.asarray(cols[c])])
+                if len(cols[c]) or len(old[c])
+                else np.asarray(old[c])
+                for c in META_COLUMNS
+            }
+        self._meta_gens = gens
+        self.last_meta_load = {
+            "mode": mode,
+            "gens_read": read_gens,
+            "new_light_terms": new_light,
+        }
         return TermMeta(
             cols["term"], cols["range_id"], cols["n_docs"], cols["max_tf"], cols["min_dl"]
         )
@@ -173,15 +247,30 @@ class Engine:
         ``append_documents`` rewrote the segments directory): drops cached
         file listings and re-reads stats + the segments relation. Without
         this, a live Engine's queries read dropped files
-        (FileNotFoundException) or serve stale stats."""
+        (FileNotFoundException) or serve stale stats.
+
+        The driver term dictionary refreshes INCREMENTALLY after a plain
+        append: committed generations are immutable, so only the new
+        generations' metadata files are read and folded in — O(new-gen
+        metadata) per append, never O(index metadata) (the serving-side
+        twin of the stage-1b incremental dictionary). The light-list LRU
+        likewise drops only terms that gained a light row in a new
+        generation; every other cached list still matches disk."""
         self.spark.catalog.refreshByPath(self.paths.segments)
         self.spark.catalog.refreshByPath(self.paths.documents)
         self.stats_ = load_stats(self.paths.root)
         self._segments = read_segments(self.spark, self.paths.root)
         self._documents = None
-        self._meta_by_term = self._load_meta()
-        # decoded light lists belong to the OLD generation list — drop them
-        self._light_cache = self._new_light_cache()
+        self._meta_by_term = self._load_meta(self._meta_by_term, self._meta_gens)
+        if (
+            self.last_meta_load.get("mode") == "incremental"
+            and self._light_cache is not None
+        ):
+            self._light_cache.drop_terms(self.last_meta_load["new_light_terms"])
+        else:
+            # full reload (compaction / dict overflow): the generation
+            # list changed non-monotonically — cached lists may be stale
+            self._light_cache = self._new_light_cache()
         return self
 
     def documents(self) -> DataFrame:

@@ -70,8 +70,11 @@ def test_light_cache_eviction_bounded():
 
 
 def test_refresh_invalidates_light_cache(spark, served_index, cfg, tmp_path):
-    """After an append, refresh() must drop cached light lists — they
-    belong to the old generation list; results must match a new Engine."""
+    """After an append, refresh() must invalidate every cached light list
+    the append made stale — any term that gained a light row in the new
+    generation — so the served results match a cold Engine exactly.
+    (Since round 5 the invalidation is SELECTIVE: untouched terms stay
+    cached — see test_refresh_incremental for that half.)"""
     import shutil
 
     d = str(tmp_path / "idx")
@@ -79,13 +82,17 @@ def test_refresh_invalidates_light_cache(spark, served_index, cfg, tmp_path):
     e = Engine(spark, d, cfg)
     q = "parse http request"
     e.search(q)
-    old_cache = e._light_cache
     extra = with_content_sha(
         generate_corpus(spark, 50, seed=42, vocab_size=2000, start=400)
     )
     append_documents(spark, d, extra, cfg, n_groups=1)
     e.refresh()
-    assert e._light_cache is not old_cache
+    # the shared-vocab append touched the query terms -> their cached
+    # lists must be gone, the next search re-fetches and matches cold
+    stale = e.last_meta_load["new_light_terms"]
+    assert e._light_cache is None or all(
+        e._light_cache.get(t) is None for t in stale
+    )
     got = e.search(q)
     fresh = Engine(spark, d, cfg).search(q)
     assert got == fresh

@@ -158,6 +158,53 @@ def test_block_max_pruning_saves_decodes(spark, index_dir, cfg):
     assert saved_somewhere, "pruning never skipped a block or range"
 
 
+def test_block_seed_under_starved_budget(spark, index_dir, oracle_inputs, cfg):
+    """When the best range's postings exceed the driver budget (the shape
+    of a 100x index), θ must still be seeded — from the single best block
+    (≤ block_size postings) of the best row — so the fan-out does not
+    start at θ≈0 (VERDICT r4 #3: ranges_pruned was 0 two rounds running).
+    Results stay rank-identical to the oracle; a discriminative
+    rare+stopword query must record actual range pruning."""
+    terms_dict = spark.read.parquet(index_dir + "/terms")
+    # rare terms with at least k=5 matching docs so the seeded θ lands on
+    # a HIGH (rare-idf) score, tight enough to prune heavy-only ranges
+    rare = [
+        r["term"]
+        for r in terms_dict.filter(
+            (~F.col("heavy")) & (F.col("df") >= 8) & (F.col("df") <= 16)
+        )
+        .orderBy("term")
+        .limit(2)
+        .collect()
+    ]
+    heavy2 = [
+        r["term"]
+        for r in terms_dict.orderBy(F.desc("df"), F.asc("term")).limit(2).collect()
+    ]
+    assert len(rare) == 2 and len(heavy2) == 2
+    pruned_somewhere = False
+    for t in rare:
+        query = {t: 1, heavy2[0]: 1, heavy2[1]: 1}
+        tight = replace(cfg, max_driver_postings=16, top_k_internal=5)
+        ctr = new_counters()
+        got = search_index(
+            spark, index_dir, query, tight, k=5,
+            max_driver_heavy_rows=0, task_groups=4, counters=ctr,
+        )
+        assert ctr["path"] == "distributed"
+        assert ctr["theta_seed_mode"] == "block", ctr
+        assert ctr["seed_blocks_decoded"] >= 1
+        assert 0 < ctr["seed_postings_scored"] <= cfg.block_size
+        assert ctr["theta_seed"] > 0.0, ctr
+        want = search_index(spark, index_dir, query, cfg)
+        assert [(d, round(s, 9)) for d, s in got] == [
+            (d, round(s, 9)) for d, s in want[:5]
+        ], t
+        if ctr["ranges_pruned"] > 0:
+            pruned_somewhere = True
+    assert pruned_somewhere, "block-seeded θ never pruned a range"
+
+
 def test_theta_seed_recorded(spark, index_dir, cfg):
     """The θ pre-seed must be captured and nonzero for a query whose light
     lists alone fill the top-k (seed = kth best light/seed score)."""
