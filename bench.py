@@ -98,12 +98,37 @@ def main() -> None:
         build_index(
             spark, docs.limit(500), os.path.join(work, "warm"), warm_cfg, n_groups=1
         )
-        timed(
-            "index_build",
-            lambda: build_index(
-                spark, docs, idx_dir, cfg, n_groups=4, parallel_groups=4
-            ),
-        )
+
+        def _job_floor() -> float:
+            t0 = time.time()
+            for _ in range(5):
+                spark.range(1).count()
+            return round((time.time() - t0) / 5, 3)
+
+        # Best-of-N build draws (VERDICT r4 #1/#2: this host's run-to-run
+        # variance is ±50% — BASELINE.md environment analysis — and one
+        # bad draw recorded as THE round number misstates the engine 2x).
+        # Each draw is a fresh build into its own dir with its own no-op
+        # job-floor sample; the headline is the best draw, every draw is
+        # recorded alongside so the artifact carries its own error bars.
+        draws: list[dict] = []
+        for i in range(3):
+            floor = _job_floor()
+            ddir = idx_dir if i == 0 else os.path.join(work, f"idx_draw{i}")
+            t0 = time.time()
+            build_index(spark, docs, ddir, cfg, n_groups=4, parallel_groups=4)
+            sec = round(time.time() - t0, 3)
+            draws.append(
+                {
+                    "sec": sec,
+                    "docs_per_sec": round(n_docs / sec, 1),
+                    "job_floor_sec": floor,
+                }
+            )
+            if i > 0:
+                shutil.rmtree(ddir, ignore_errors=True)
+        timings["index_build"] = min(d["sec"] for d in draws)
+        extras["index_build_draws"] = draws
         extras["docs_indexed"] = n_docs
         extras["index_docs_per_sec"] = round(n_docs / timings["index_build"], 1)
 
@@ -122,14 +147,13 @@ def main() -> None:
             "light_terms_overflow",
             "light_cache_hits",
             "light_cache_misses",
+            "seed_blocks_decoded",
+            "seed_postings_scored",
         )
         # per-job dispatch floor of this session (scheduler round-trip for
         # a no-op job): the denominator for every sub-second latency below
         # — on this host it swings 0.1-0.7s run to run
-        t0 = time.time()
-        for _ in range(5):
-            spark.range(1).count()
-        extras["job_floor_sec"] = round((time.time() - t0) / 5, 3)
+        extras["job_floor_sec"] = _job_floor()
 
         engine = Engine(spark, idx_dir, cfg)
         qids = list(REFERENCE_QUERIES)[:10]
@@ -209,7 +233,97 @@ def main() -> None:
         timings["wand_topk_dist_avg"] = round((time.time() - t0) / 5, 3)
         extras["wand_dist_counters"] = dist_ctr
 
+        # STARVED-budget distributed pass (VERDICT r4 #3 done-criterion):
+        # max_driver_postings=64 is far below any range's postings, so θ
+        # must come from the block seed — the artifact records
+        # ranges_pruned > 0 under exactly the 100x-index shape where the
+        # seed range can never fit the driver
+        stress_engine = Engine(
+            spark, idx_dir, _replace(cfg, max_driver_postings=64, top_k_internal=10)
+        )
+        stress_ctr: dict = {}
+        seed_modes: dict = {}
+        t0 = time.time()
+        for t in rare_terms:
+            stress_engine.search(
+                {t: 1, heavy_terms_b[0]: 1, heavy_terms_b[1]: 1},
+                max_driver_heavy_rows=0,
+            )
+            c = stress_engine.last_search_counters
+            _acc(stress_ctr, c, _CTRS)
+            m = c.get("theta_seed_mode", "")
+            seed_modes[m] = seed_modes.get(m, 0) + 1
+        if rare_terms:
+            timings["wand_topk_dist_stress_avg"] = round(
+                (time.time() - t0) / len(rare_terms), 3
+            )
+        stress_ctr["theta_seed_modes"] = seed_modes
+        extras["wand_dist_stress_counters"] = stress_ctr
+
         timed("hydrated_search", lambda: engine.search_df("parse http request").collect())
+
+        # ---- append + compaction pass (VERDICT r4 #4): tiered
+        # generations at bench scale. 3 appends of 5% each onto the
+        # full index with max_segment_generations=3 so the LAST append
+        # triggers a size-tiered compaction; gc_runs exercises the
+        # segment-sourced compaction path and reclaims runs/. Evidence
+        # recorded per append: wall time, bytes written for the new
+        # generation vs total index bytes (the O(batch)-not-O(index)
+        # claim), live generation count, runs-dir size after GC.
+        from dawnsearch_spark.index_build import IndexPaths, segment_generations
+        from dawnsearch_spark.manifest import dir_bytes
+        from dawnsearch_spark.streaming.incremental import append_documents
+
+        acfg = _replace(cfg, max_segment_generations=3, gc_runs=True)
+        paths = IndexPaths(idx_dir)
+        batch = max(200, n_docs // 20)
+        appends = []
+        t_app0 = time.time()
+        for i in range(3):
+            before_gens = {int(g["gen"]) for g in segment_generations(idx_dir)}
+            t0 = time.time()
+            append_documents(
+                spark,
+                idx_dir,
+                generate_corpus(spark, batch, seed=42, start=n_docs + i * batch),
+                acfg,
+                n_groups=1,
+            )
+            sec = round(time.time() - t0, 3)
+            gens = segment_generations(idx_dir)
+            new_bytes = sum(
+                int(g["bytes"]) for g in gens if int(g["gen"]) not in before_gens
+            )
+            appends.append(
+                {
+                    "docs": batch,
+                    "sec": sec,
+                    # includes the compacted generation when one was
+                    # written — the append's true write amplification
+                    "gen_bytes_written": new_bytes,
+                    "segment_bytes_total": dir_bytes(paths.segments),
+                    "generations": len(gens),
+                    # a plain append grows the list by one; compaction
+                    # replaced several generations with one
+                    "compacted": len(gens) <= len(before_gens),
+                    "runs_bytes_after_gc": dir_bytes(paths.runs),
+                }
+            )
+        timings["appends_total"] = round(time.time() - t_app0, 3)
+        engine.refresh()
+        refresh_mode = dict(engine.last_meta_load)
+        refresh_mode["new_light_terms"] = len(refresh_mode.get("new_light_terms", ()))
+        post_ctr: dict = {}
+        t0 = time.time()
+        for qid in qids:
+            engine.search(REFERENCE_QUERIES[qid])
+            _acc(post_ctr, engine.last_search_counters, _CTRS)
+        timings["wand_post_append_avg"] = round((time.time() - t0) / len(qids), 3)
+        extras["append_pass"] = {
+            "appends": appends,
+            "refresh": refresh_mode,
+            "post_append_counters": post_ctr,
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
