@@ -92,11 +92,112 @@ def run_one(cores: int, corpus: str, docs: int) -> None:
     spark.stop()
 
 
+def run_append_pass(cores: int, corpus: str, docs: int, n_appends: int = 4,
+                    batch: int = 10000) -> None:
+    """Tiered-generation evidence at bench scale (VERDICT r4 #4): build
+    the full index, then N appends of ``batch`` docs with gc_runs +
+    size-tiered compaction, recording per-append wall time and bytes
+    written vs total index bytes (the O(batch)-not-O(index) claim),
+    compaction IO, reclaimed runs/ storage, and post-append WAND latency
+    + counters."""
+    from dataclasses import replace
+
+    from dawnsearch_spark.config import EngineConfig
+    from dawnsearch_spark.corpus import REFERENCE_QUERIES, generate_corpus
+    from dawnsearch_spark.index_build import (
+        IndexPaths,
+        build_index,
+        segment_generations,
+    )
+    from dawnsearch_spark.manifest import dir_bytes
+    from dawnsearch_spark.plans.query import Engine
+    from dawnsearch_spark.session import get_spark
+    from dawnsearch_spark.streaming.incremental import append_documents
+
+    n_exec = max(1, cores // 4)
+    spark = get_spark(
+        f"append-pass-{cores}",
+        master=f"local-cluster[{n_exec},4,6144]",
+        shuffle_partitions=cores,
+        extra_conf={
+            "spark.executor.memory": "3g",
+            "spark.memory.offHeap.enabled": "true",
+            "spark.memory.offHeap.size": "2g",
+        },
+    )
+    cfg = replace(
+        EngineConfig(
+            heavy_df_threshold=max(1000, docs // 8),
+            range_size=4096,
+            num_term_buckets=32,
+            build_partitions=64,
+        ),
+        max_segment_generations=3,
+        gc_runs=True,
+    )
+    src = spark.read.parquet(corpus)
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = os.path.join(tmp, "idx")
+        t0 = time.time()
+        build_index(spark, src, idx, cfg, n_groups=4, parallel_groups=4)
+        build_sec = round(time.time() - t0, 2)
+        paths = IndexPaths(idx)
+        base_seg_bytes = dir_bytes(paths.segments)
+        appends = []
+        for i in range(n_appends):
+            before_gens = {int(g["gen"]) for g in segment_generations(idx)}
+            extra = generate_corpus(
+                spark, batch, seed=42, start=docs + i * batch
+            )
+            t0 = time.time()
+            append_documents(spark, idx, extra, cfg, n_groups=1)
+            sec = round(time.time() - t0, 2)
+            gens = segment_generations(idx)
+            appends.append({
+                "docs": batch,
+                "sec": sec,
+                "docs_per_sec": round(batch / sec, 1),
+                "gen_bytes_written": sum(
+                    int(g["bytes"]) for g in gens
+                    if int(g["gen"]) not in before_gens
+                ),
+                "segment_bytes_total": dir_bytes(paths.segments),
+                "generations": len(gens),
+                "compacted": len(gens) <= len(before_gens),
+                "runs_bytes_after_gc": dir_bytes(paths.runs),
+            })
+        engine = Engine(spark, idx, cfg)
+        qids = list(REFERENCE_QUERIES)[:5]
+        for qid in qids:  # warm
+            engine.search(REFERENCE_QUERIES[qid])
+        t0 = time.time()
+        ctrs = {"ranges_pruned": 0, "blocks_decoded": 0, "postings_scored": 0}
+        for qid in qids:
+            engine.search(REFERENCE_QUERIES[qid])
+            for k in ctrs:
+                ctrs[k] += int(engine.last_search_counters.get(k) or 0)
+        wand_avg = round((time.time() - t0) / len(qids), 3)
+    print(json.dumps({
+        "append_pass": {
+            "cores": cores,
+            "base_build_sec": build_sec,
+            "base_segment_bytes": base_seg_bytes,
+            "appends": appends,
+            "post_append_wand_avg_sec": wand_avg,
+            "post_append_counters": ctrs,
+        }
+    }))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=160000)
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--run-one", action="store_true")
+    ap.add_argument("--append-pass", action="store_true")
+    ap.add_argument("--appends", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=10000)
     ap.add_argument("--cores", type=int)
     ap.add_argument("--corpus")
     # this host's run-to-run variance is +/-50% (BASELINE.md environment
@@ -105,6 +206,12 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args()
 
+    if args.append_pass and args.corpus:
+        run_append_pass(
+            args.cores or 32, args.corpus, args.docs,
+            n_appends=args.appends, batch=args.batch,
+        )
+        return
     if args.run_one:
         run_one(args.cores, args.corpus, args.docs)
         return
@@ -141,6 +248,18 @@ def main() -> None:
     def best(cores, key):
         return max(r[key] for r in all_runs[cores])
 
+    # tiered-generation append pass at full bench scale (one extra child)
+    append_pass = None
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--append-pass",
+         "--cores", "32", "--corpus", corpus, "--docs", str(args.docs)],
+        capture_output=True, text=True,
+    )
+    m = re.findall(r'\{"append_pass".*\}', out.stdout)
+    if m:
+        append_pass = json.loads(m[-1])["append_pass"]
+        print(json.dumps(append_pass))
+
     eff = (best(32, "docs_per_sec") / best(8, "docs_per_sec")) / 4.0
     tf_eff = (best(32, "tf_docs_per_sec") / best(8, "tf_docs_per_sec")) / 4.0
     summary = {
@@ -148,6 +267,7 @@ def main() -> None:
         "local8": results[8],
         "local32": results[32],
         "all_runs": {str(k): v for k, v in all_runs.items()},
+        "append_pass": append_pass,
         "scaling_efficiency_8_to_32": round(eff, 3),
         "tf_stage_scaling_efficiency": round(tf_eff, 3),
         "target": 0.8,
