@@ -676,6 +676,75 @@ def q_media_decode_jpeg(spark, sf_dir):
     )
 
 
+def q_media_decode_audio(spark, sf_dir):
+    """Compressed AUDIO decode under the driver gate (functions/adpcm.py —
+    IMA ADPCM, WAV format 0x11, pure NumPy; no codec library): each doc's
+    closed-form int16 triangle wave s_j = 8*(|((j*k + id) % 4096) - 2048|
+    - 1024), k = id%7+3, n = 1500 + id%101, is ADPCM-compressed 4:1 and
+    decoded back. The codec stores every block's FIRST sample verbatim in
+    the block header, so the oracle recomputes samples 0 and 505 (block
+    boundaries at block_align=256) EXACTLY from the formula; the rest is
+    the lossy bounded-error contract like the JPEG gate — tolerance 64
+    against a measured worst case of ~24 on the fixture set."""
+    import numpy as np
+    import pandas as pd
+
+    from dawnsearch_spark.operators.multimodal import (
+        decode_audio_stats,
+        synthesize_audio_media,
+    )
+    from dawnsearch_spark.functions.adpcm import decode_ima_adpcm
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    media = synthesize_audio_media(docs)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy("int64")
+            rows = {"doc_id": ids, "n_samples": [], "sample_rate": [],
+                    "first_sample": [], "sample_505": [], "err_ok": []}
+            for i in range(len(pdf)):
+                did = int(ids[i])
+                dec, rate = decode_ima_adpcm(bytes(pdf["media"].iloc[i]))
+                dec = dec.reshape(-1).astype(np.int64)
+                k = did % 7 + 3
+                j = np.arange(len(dec), dtype=np.int64)
+                exp = 8 * (np.abs((j * k + did) % 4096 - 2048) - 1024)
+                rows["n_samples"].append(len(dec))
+                rows["sample_rate"].append(rate)
+                rows["first_sample"].append(int(dec[0]))
+                rows["sample_505"].append(int(dec[505]))
+                rows["err_ok"].append(int(np.abs(dec - exp).max() <= 64))
+            yield pd.DataFrame(rows)
+
+    out = media.mapInPandas(
+        gen,
+        "doc_id long, n_samples long, sample_rate int, "
+        "first_sample int, sample_505 int, err_ok int",
+    )
+    # the batched stats operator runs under the same gate: its exact
+    # columns must agree with the per-payload decode above
+    stats = decode_audio_stats(media).select(
+        "doc_id",
+        F.col("n_samples").alias("n_samples_b"),
+        F.col("first_sample").alias("first_sample_b"),
+    )
+    return (
+        out.join(stats, "doc_id")
+        .withColumn(
+            "err_ok",
+            (
+                (F.col("err_ok") == 1)
+                & (F.col("n_samples_b") == F.col("n_samples"))
+                & (F.col("first_sample_b") == F.col("first_sample"))
+            ).cast("int"),
+        )
+        .drop("n_samples_b", "first_sample_b")
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary media column -> vectorized per-byte
     features, emitted as scalar columns (driver-hashable) with a DuckDB
@@ -906,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_decode_png": q_media_decode_png,
         "media_decode_jpeg": q_media_decode_jpeg,
+        "media_decode_audio": q_media_decode_audio,
     }
 
 
@@ -1315,6 +1385,21 @@ def oracle_sql() -> dict[str, str]:
     # lossy-format contract: bounded-error reconstruction of the pattern
     out["media_decode_jpeg"] = """
         SELECT doc_id, 32 AS width, 16 AS height, 1 AS err_ok
+        FROM documents WHERE doc_id < 50
+    """
+    # ADPCM audio: sample count + rate are exact metadata; samples 0 and
+    # 505 sit on block boundaries, which the codec stores VERBATIM in the
+    # block headers, so the oracle recomputes them exactly from the
+    # synthesis formula s_j = 8*(|((j*k + id) % 4096) - 2048| - 1024);
+    # the in-between samples are the lossy bounded-error contract
+    out["media_decode_audio"] = """
+        SELECT doc_id,
+               (1500 + doc_id % 101)::BIGINT AS n_samples,
+               16000 AS sample_rate,
+               (8 * (abs((doc_id % 4096) - 2048) - 1024))::INT AS first_sample,
+               (8 * (abs((505 * (doc_id % 7 + 3) + doc_id) % 4096 - 2048) - 1024))::INT
+                   AS sample_505,
+               1 AS err_ok
         FROM documents WHERE doc_id < 50
     """
     return out

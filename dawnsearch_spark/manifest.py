@@ -92,10 +92,11 @@ def config_fingerprint(cfg) -> str:
     import hashlib
 
     relevant = {
-        # v4: stats-free segment rows (per-block Pareto fronts of
-        # (tf, dl) instead of baked BM25 bounds; df derived by summing
-        # n_docs) + tiered segment generations — older layouts rebuild
-        "layout_version": 4,
+        # v5: segment rows carry tf_sum (dictionary rebuildable from
+        # segment metadata -> runs/ GC-able). v4: stats-free rows
+        # (per-block Pareto fronts of (tf, dl); df = Σ n_docs) + tiered
+        # generations. Older layouts rebuild.
+        "layout_version": 5,
         "k1": cfg.k1,
         "b": cfg.b,
         "num_term_buckets": cfg.num_term_buckets,

@@ -4,8 +4,9 @@ Media (image/audio/video) are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extract run as Arrow-batched pandas UDFs
 over ``mapInPandas``. Image decode is REAL for BMP / P6 PPM / PNG
 (stdlib-zlib + batched NumPy unfiltering) / baseline JPEG (NumPy DCT +
-Huffman, functions/jpeg.py) and WAV PCM; remaining codec families
-(mp3/h264/...) raise NotImplementedError with a clear marker while
+Huffman, functions/jpeg.py); audio decode is REAL for WAV PCM and
+compressed IMA-ADPCM WAV (functions/adpcm.py, block-stacked NumPy);
+remaining codec families (mp3/h264/...) raise NotImplementedError while
 everything Spark-side stays real and tested: schema, partitioning, UDF
 signatures, batch shapes, and a deterministic byte-level feature
 extractor standing in for a learned one.
@@ -347,15 +348,156 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             if fmt is None:
                 raise ValueError("WAV data chunk before fmt")
             audio_fmt, ch, rate, _, _, bits = fmt
+            if audio_fmt == 0x11 and bits == 4:
+                # compressed WAV: IMA ADPCM decodes for real
+                from dawnsearch_spark.functions.adpcm import decode_ima_adpcm
+
+                return decode_ima_adpcm(payload)
             if audio_fmt != 1 or bits != 16:
                 raise NotImplementedError(
-                    f"only 16-bit PCM WAV supported (fmt={audio_fmt}, bits={bits})"
+                    "WAV decode supports 16-bit PCM (fmt 1) and 4-bit IMA "
+                    f"ADPCM (fmt 0x11) — got fmt={audio_fmt}, bits={bits}"
                 )
             n = length // (2 * ch)
             samples = np.frombuffer(payload, "<i2", count=n * ch, offset=data_off)
             return samples.reshape(n, ch), rate
         pos = data_off + length + (length & 1)
     raise ValueError("WAV missing data chunk")
+
+
+def synthesize_audio_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL audio table: one IMA-ADPCM WAV (format 0x11)
+    per doc, compressing a closed-form int16 triangle wave —
+    ``s_j = 8 * (|((j*k + id) % 4096) - 2048| - 1024)`` with
+    ``k = id % 7 + 3`` and ``n = 1500 + id % 101`` samples at 16 kHz —
+    so a SQL oracle can recompute block-header samples (stored verbatim
+    by the codec) and the sample count from first principles. Wave
+    synthesis is one vectorized NumPy expression per batch; the encode
+    loops per sample WITHIN a block but vectorizes across each payload's
+    blocks (functions/adpcm.py)."""
+    from dawnsearch_spark.functions.adpcm import encode_ima_adpcm
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            payloads = []
+            for did in ids:
+                did = int(did)
+                k = did % 7 + 3
+                n = 1500 + did % 101
+                j = np.arange(n, dtype=np.int64)
+                s = (8 * (np.abs((j * k + did) % 4096 - 2048) - 1024)).astype(np.int16)
+                payloads.append(encode_ima_adpcm(s, 16000, block_align=256))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media": payloads, "media_type": "audio/wav"}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        gen, "doc_id long, media binary, media_type string"
+    )
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """Decode audio payloads (16-bit PCM or IMA-ADPCM WAV) and emit
+    per-clip statistics: sample count, rate, first/last sample and mean
+    absolute amplitude.
+
+    Batched decode (same shape as the PNG path): ADPCM's per-sample
+    recursion is serial WITHIN a block but blocks restart from their own
+    header, so within each Arrow batch every ADPCM payload's blocks are
+    stacked into ONE (total_blocks, block_align) matrix per block size
+    and decoded with a single per-sample loop for the whole batch —
+    never a loop per clip."""
+    import struct
+
+    from dawnsearch_spark.functions.adpcm import (
+        decode_adpcm_blocks,
+        samples_per_block,
+    )
+
+    def _wav_layout(payload: bytes) -> tuple:
+        """(fmt_tag, channels, rate, block_align, bits, data_off,
+        data_len, fact_n) from one header walk."""
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, fmt, fact_n = 12, None, None
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            off = pos + 8
+            if tag == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", payload[off : off + 16])
+            elif tag == b"fact":
+                (fact_n,) = struct.unpack("<I", payload[off : off + 4])
+            elif tag == b"data":
+                if fmt is None:
+                    raise ValueError("WAV data chunk before fmt")
+                return (*fmt, off, length, fact_n)
+            pos = off + length + (length & 1)
+        raise ValueError("WAV missing data chunk")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            payloads = [bytes(b) for b in pdf["media"]]
+            samples: list[np.ndarray | None] = [None] * n
+            rates = np.empty(n, np.int32)
+            groups: dict[int, list[tuple[int, np.ndarray, int]]] = {}
+            for i, p in enumerate(payloads):
+                fmt_tag, ch, rate, _br, balign, bits, off, dlen, fact_n = _wav_layout(p)
+                rates[i] = rate
+                if fmt_tag == 1 and bits == 16:
+                    cnt = dlen // (2 * ch)
+                    samples[i] = np.frombuffer(p, "<i2", count=cnt * ch, offset=off)
+                elif fmt_tag == 0x11 and bits == 4 and ch == 1:
+                    nb = dlen // balign
+                    blocks = np.frombuffer(
+                        p, np.uint8, count=nb * balign, offset=off
+                    ).reshape(nb, balign)
+                    groups.setdefault(balign, []).append((i, blocks, fact_n))
+                else:
+                    from dawnsearch_spark.operators.multimodal import decode_wav
+
+                    decode_wav(p)  # raises the honest stub error
+                    raise AssertionError("unreachable")
+            for balign, items in groups.items():
+                stack = np.concatenate([b for _, b, _ in items])
+                decoded = decode_adpcm_blocks(stack)  # ONE loop for the batch
+                spb = samples_per_block(balign)
+                row = 0
+                for i, b, fact_n in items:
+                    flat = decoded[row : row + len(b)].reshape(-1)
+                    row += len(b)
+                    samples[i] = flat if fact_n is None else flat[:fact_n]
+            out = {
+                "doc_id": ids,
+                "n_samples": np.array([len(s) for s in samples], np.int64),
+                "sample_rate": rates,
+                "first_sample": np.array(
+                    [int(s[0]) if len(s) else 0 for s in samples], np.int32
+                ),
+                "last_sample": np.array(
+                    [int(s[-1]) if len(s) else 0 for s in samples], np.int32
+                ),
+                "mean_abs": np.array(
+                    [
+                        float(np.abs(s.astype(np.int64)).mean()) if len(s) else 0.0
+                        for s in samples
+                    ]
+                ),
+            }
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media").mapInPandas(
+        gen,
+        "doc_id long, n_samples long, sample_rate int, "
+        "first_sample int, last_sample int, mean_abs double",
+    )
 
 
 def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
