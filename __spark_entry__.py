@@ -98,19 +98,24 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
 
-def _bm25_sql(query_terms: list[str], k: int = 10) -> str:
+def _bm25_sql(query_terms: list[str], k: int = 10, where: str = "TRUE") -> str:
+    """Exact-BM25 top-k oracle SQL. ``where`` restricts the corpus — the
+    delete-lifecycle gate passes the survivor predicate, and the oracle's
+    N/avgdl/df then all derive from the survivors only (exactly what a
+    post-purge index must serve)."""
     terms_in = ", ".join(f"'{t}'" for t in query_terms)
     toks = _tok_sql("text")
+    src = f"(SELECT * FROM documents WHERE {where})"
     return f"""
 WITH dl AS (
-  SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents
+  SELECT doc_id, len({toks})::DOUBLE AS dl FROM {src} AS documents
 ),
 st AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+  SELECT (SELECT count(*) FROM {src})::DOUBLE AS n, avg(dl) AS avgdl FROM dl
 ),
 tf AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf
-  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM {src} AS documents)
   WHERE term IN ({terms_in})
   GROUP BY doc_id, term
 ),
@@ -870,6 +875,52 @@ def q_wand_topk_dist(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_wand_delete_purge(spark, sf_dir):
+    """Index-lifecycle DELETE under the driver gate (S5's inverse; the
+    reference is insert-only with a capacity cap,
+    /root/reference/src/search/search_provider.rs:164-166 — delete is the
+    lifecycle step its row store never finished): build a real segment
+    index, tombstone-delete every doc_id ≡ 3 (mod 7), PURGE (one
+    tombstone-filtered merge of all generations sourced from the index's
+    own segment rows + forward-index rewrite + dictionary/stats rebuild),
+    and serve top-10 WAND. Post-purge scores must be EXACTLY a
+    from-scratch BM25 over the survivors — N, avgdl, df all shift — so
+    the oracle is the standard exact-BM25 SQL restricted to
+    ``doc_id % 7 <> 3``. docIDs keep their original values (the ID space
+    just has holes), so the hash match covers ids AND scores."""
+    import tempfile
+
+    from dawnsearch_spark.index_build import build_index
+    from dawnsearch_spark.manifest import read_manifest
+    from dawnsearch_spark.plans.query import Engine
+    from dawnsearch_spark.streaming.incremental import (
+        delete_documents,
+        purge_deletes,
+    )
+
+    _wand_index_root(spark, sf_dir)  # ensures _IDX_TAGS[sf_dir] is set
+    root = os.path.join(
+        tempfile.gettempdir(), f"dawnsearch_driver_idx_{_IDX_TAGS[sf_dir]}_del"
+    )
+    build_index(spark, _docs(spark, sf_dir), root, _wand_cfg(), n_groups=2)
+    m = read_manifest(root, "documents") or {}
+    if not m.get("purged"):  # idempotent across gate invocations
+        ids = [
+            r["doc_id"]
+            for r in _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 7 == 3)
+            .select("doc_id")
+            .collect()
+        ]
+        delete_documents(spark, root, _wand_cfg(), doc_ids=ids)
+        purge_deletes(spark, root, _wand_cfg())
+    hits = Engine(spark, root, _wand_cfg()).search(BM25_QUERY_2)
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits] or [], "doc_id long, score double"
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_more_like(spark, sf_dir):
     """E2 lifecycle under the driver gate (reference: MoreLikeSearch —
     stored page -> its embedding -> re-enter search,
@@ -939,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk_1": q_wand_topk_1,
         "wand_topk_2": q_wand_topk_2,
         "wand_topk_dist": q_wand_topk_dist,
+        "wand_delete_purge": q_wand_delete_purge,
         "more_like": q_more_like,
         "filter_project": q_filter_project,
         "length_gate": q_length_gate,
@@ -1124,6 +1176,11 @@ def oracle_sql() -> dict[str, str]:
         "wand_topk_1": _bm25_sql(BM25_QUERY_1.split()),
         "wand_topk_2": _bm25_sql(BM25_QUERY_2.split()),
         "wand_topk_dist": _bm25_sql(BM25_QUERY_2.split()),
+        # post-purge serving must equal exact BM25 over the SURVIVORS
+        # (N, avgdl, df recomputed without the deleted docs)
+        "wand_delete_purge": _bm25_sql(
+            BM25_QUERY_2.split(), where="doc_id % 7 <> 3"
+        ),
         "more_like": _more_like_sql(),
         "media_features": _media_sql(),
         # decoded-image statistics recomputed from the synthesis formula:

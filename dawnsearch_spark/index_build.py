@@ -203,6 +203,144 @@ def load_stats(root: str) -> CorpusStats:
     )
 
 
+def merge_groups_to_generation(
+    spark: SparkSession,
+    paths: IndexPaths,
+    cfg: EngineConfig,
+    heavy_terms: DataFrame,
+    group_ids: list[int],
+    gen_id: int,
+    source_gens: list[dict] | None = None,
+    tombstones=None,
+) -> dict:
+    """Merge the given run groups into segments/gen=<gen_id>.
+
+    ``source_gens`` (committed generation dicts covering exactly
+    ``group_ids``) lets the merge source from the POSTINGS ALREADY IN
+    those generations' segment rows instead of runs/: a segment row's
+    doc/tf/dl blobs are valid run blobs (same delta+varbyte streams —
+    block-leading gaps are plain gaps, see codec.decode_all_postings),
+    so the rows reinterpret as runs with salt = range_id and
+    group = gen, zero re-encoding. The runs-sourced path is kept
+    whenever every group's run dir still exists (byte-identical
+    output either way: both decode to the same disjoint docID-sorted
+    posting sets, and the merge + block pack are deterministic); with
+    ``cfg.gc_runs`` the dirs are gone and compaction runs entirely
+    off the index itself — runs/ storage is reclaimed instead of
+    doubling the index forever (VERDICT r4 #1).
+
+    ``tombstones`` (sorted int64 doc_ids) drops those docs' postings
+    during the merge — the purge path of the delete lifecycle
+    (Lucene-style: deletes are tombstones until a merge rewrites the
+    affected rows)."""
+    gdirs = [os.path.join(paths.runs, f"group={g}") for g in group_ids]
+    if source_gens is not None and not all(os.path.isdir(d) for d in gdirs):
+        src_dirs = [
+            os.path.join(paths.segments, f"gen={int(g['gen'])}")
+            for g in source_gens
+            if int(g.get("rows", 0)) > 0
+        ]
+        src_groups = sorted(int(x) for g in source_gens for x in g["groups"])
+        if src_groups != sorted(int(g) for g in group_ids):
+            raise RuntimeError(
+                f"segment-sourced merge needs generations covering exactly "
+                f"the requested groups (gens cover {src_groups}, "
+                f"requested {sorted(group_ids)})"
+            )
+        if src_dirs:
+            runs_raw = (
+                spark.read.option("basePath", paths.segments)
+                .parquet(*src_dirs)
+                .select(
+                    "term",
+                    F.col("range_id").alias("salt"),
+                    "n_docs",
+                    "tf_sum",
+                    "doc_blob",
+                    "tf_blob",
+                    "dl_blob",
+                    F.col("gen").cast("long").alias("group"),
+                )
+            )
+        else:  # all-empty source generations
+            from dawnsearch_spark.operators.postings import RUN_SCHEMA
+
+            runs_raw = spark.createDataFrame([], RUN_SCHEMA + ", group long")
+    else:
+        runs_raw = spark.read.option("basePath", paths.runs).parquet(*gdirs)
+    # Within ONE generation a term is served either as one light row
+    # or as range rows, never both (uniform layout per gen keeps the
+    # merge single-pass); ACROSS generations a term may be mixed —
+    # the query layer treats every row as an additive disjoint
+    # posting set. Split set = globally-heavy terms plus any term
+    # already salted in these runs.
+    split_terms = (
+        heavy_terms.select("term")
+        .union(runs_raw.filter(F.col("salt") >= 0).select("term"))
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    tomb_bc = None
+    if tombstones is not None and len(tombstones):
+        import numpy as np
+
+        tomb_bc = spark.sparkContext.broadcast(
+            np.sort(np.asarray(tombstones, np.int64))
+        )
+    runs = reclassify_runs(runs_raw, split_terms, cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    light = merge_light_runs(
+        runs.filter(F.col("salt") == -1), cfg, cfg.build_partitions,
+        tombstones_bc=tomb_bc,
+    )
+    heavy = merge_heavy_runs(
+        runs.filter(F.col("salt") >= 0), cfg, cfg.build_partitions,
+        tombstones_bc=tomb_bc,
+    )
+    seg = light.unionByName(heavy)
+    gdir = os.path.join(paths.segments, f"gen={gen_id}")
+    (
+        seg.repartition("bucket")
+        .sortWithinPartitions("term", "range_id")
+        # term-sorted files + small row groups = every row group's
+        # (min_term, max_term) stats span a narrow slice, so a
+        # query-term filter prunes to 1-2 row groups per bucket —
+        # parquet footers become the term directory pages of a
+        # classical inverted index (drives both the pyarrow serving
+        # reads and Spark's scan-level row-group skipping)
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(1 << 20))
+        .partitionBy("bucket")
+        .parquet(gdir)
+    )
+    runs.unpersist()
+    import glob as _glob
+
+    # an all-empty-content batch produces ZERO segment rows: the
+    # partitionBy write then leaves no schema-bearing file, so the
+    # read-back would fail — record a 0-row generation instead
+    # (readers skip rows == 0 generations entirely)
+    files = _glob.glob(os.path.join(gdir, "bucket=*", "*.parquet"))
+    if files:
+        back = spark.read.parquet(gdir)
+        agg = back.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_docs").alias("postings"),
+        ).collect()[0]
+        rows, postings = int(agg["rows"]), int(agg["postings"] or 0)
+    else:
+        rows, postings = 0, 0
+    return {
+        "gen": int(gen_id),
+        "groups": [int(g) for g in group_ids],
+        "rows": rows,
+        "postings": postings,
+        "bytes": dir_bytes(gdir),
+    }
+
+
 def build_index(
     spark: SparkSession,
     source_docs: DataFrame,
@@ -230,20 +368,27 @@ def build_index(
             # construction, asserted below).
             back = spark.read.parquet(paths.documents)
             agg = back.agg(
-                F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("doc_id").alias("nd"),
+                F.max("doc_id").alias("mx"),
             ).collect()[0]
             n = int(agg["n"])
-            if n != int(agg["mx"] or -1) + 1:
+            id_space = int(agg["mx"] if agg["mx"] is not None else -1) + 1
+            if n != int(agg["nd"]):
                 raise RuntimeError(
-                    f"forward index at {paths.documents} is not dense "
-                    f"(count={n}, max_id={agg['mx']}); refusing to adopt"
+                    f"forward index at {paths.documents} has duplicate "
+                    f"doc_ids (count={n}, distinct={agg['nd']}); refusing "
+                    "to adopt"
                 )
+            # n < id_space is legal: purge_deletes leaves docID holes —
+            # the dupe check above is the real corruption guard
             write_manifest(
                 paths.root,
                 "documents",
                 {
                     "fingerprint": fp,
                     "n_docs": n,
+                    "id_space": id_space,
                     "bytes": dir_bytes(paths.documents),
                     "recovered": True,
                 },
@@ -298,12 +443,17 @@ def build_index(
             write_manifest(
                 paths.root,
                 "documents",
-                {"fingerprint": fp, "n_docs": n, "bytes": dir_bytes(paths.documents)},
+                {"fingerprint": fp, "n_docs": n, "id_space": n,
+                 "bytes": dir_bytes(paths.documents)},
             )
             log(f"stage0 documents committed: {n} docs")
     documents = spark.read.parquet(paths.documents)
 
-    n_docs_total = int(read_manifest(paths.root, "documents")["n_docs"])
+    docs_m = read_manifest(paths.root, "documents")
+    n_docs_total = int(docs_m["n_docs"])
+    # docID space may exceed the live count after purge_deletes (holes);
+    # group planning covers the ID SPACE, stats use the live count
+    id_space = int(docs_m.get("id_space", n_docs_total))
     eff_heavy = cfg.effective_heavy_df_threshold(n_docs_total)
 
     # ---- stage 1a: group plan + SAMPLED heavy-term detection ----
@@ -316,7 +466,7 @@ def build_index(
     # are re-salted at merge (reclassify_runs). The sample is seeded and
     # the forward index is immutable between resumes, so resumed builds
     # make identical salting decisions (segment byte-identity holds).
-    plan = _plan_groups(paths.root, n_docs_total, n_groups, cfg.range_size, fp)
+    plan = _plan_groups(paths.root, id_space, n_groups, cfg.range_size, fp)
     actual_groups = len(plan)
     pending = [(g, lo, hi) for g, lo, hi, committed in plan if not committed]
 
@@ -640,118 +790,10 @@ def build_index(
     def _merge_groups_to_gen(
         group_ids: list[int], gen_id: int, source_gens: list[dict] | None = None
     ) -> dict:
-        """Merge the given run groups into segments/gen=<gen_id>.
-
-        ``source_gens`` (committed generation dicts covering exactly
-        ``group_ids``) lets the merge source from the POSTINGS ALREADY IN
-        those generations' segment rows instead of runs/: a segment row's
-        doc/tf/dl blobs are valid run blobs (same delta+varbyte streams —
-        block-leading gaps are plain gaps, see codec.decode_all_postings),
-        so the rows reinterpret as runs with salt = range_id and
-        group = gen, zero re-encoding. The runs-sourced path is kept
-        whenever every group's run dir still exists (byte-identical
-        output either way: both decode to the same disjoint docID-sorted
-        posting sets, and the merge + block pack are deterministic); with
-        ``cfg.gc_runs`` the dirs are gone and compaction runs entirely
-        off the index itself — runs/ storage is reclaimed instead of
-        doubling the index forever (VERDICT r4 #1)."""
-        gdirs = [os.path.join(paths.runs, f"group={g}") for g in group_ids]
-        if source_gens is not None and not all(os.path.isdir(d) for d in gdirs):
-            src_dirs = [
-                os.path.join(paths.segments, f"gen={int(g['gen'])}")
-                for g in source_gens
-                if int(g.get("rows", 0)) > 0
-            ]
-            src_groups = sorted(int(x) for g in source_gens for x in g["groups"])
-            if src_groups != sorted(int(g) for g in group_ids):
-                raise RuntimeError(
-                    f"segment-sourced merge needs generations covering exactly "
-                    f"the requested groups (gens cover {src_groups}, "
-                    f"requested {sorted(group_ids)})"
-                )
-            if src_dirs:
-                runs_raw = (
-                    spark.read.option("basePath", paths.segments)
-                    .parquet(*src_dirs)
-                    .select(
-                        "term",
-                        F.col("range_id").alias("salt"),
-                        "n_docs",
-                        "tf_sum",
-                        "doc_blob",
-                        "tf_blob",
-                        "dl_blob",
-                        F.col("gen").cast("long").alias("group"),
-                    )
-                )
-            else:  # all-empty source generations
-                from dawnsearch_spark.operators.postings import RUN_SCHEMA
-
-                runs_raw = spark.createDataFrame([], RUN_SCHEMA + ", group long")
-        else:
-            runs_raw = spark.read.option("basePath", paths.runs).parquet(*gdirs)
-        # Within ONE generation a term is served either as one light row
-        # or as range rows, never both (uniform layout per gen keeps the
-        # merge single-pass); ACROSS generations a term may be mixed —
-        # the query layer treats every row as an additive disjoint
-        # posting set. Split set = globally-heavy terms plus any term
-        # already salted in these runs.
-        split_terms = (
-            heavy_terms.select("term")
-            .union(runs_raw.filter(F.col("salt") >= 0).select("term"))
-            .distinct()
+        return merge_groups_to_generation(
+            spark, paths, cfg, heavy_terms, group_ids, gen_id,
+            source_gens=source_gens,
         )
-        from pyspark import StorageLevel
-
-        runs = reclassify_runs(runs_raw, split_terms, cfg).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        light = merge_light_runs(
-            runs.filter(F.col("salt") == -1), cfg, cfg.build_partitions
-        )
-        heavy = merge_heavy_runs(
-            runs.filter(F.col("salt") >= 0), cfg, cfg.build_partitions
-        )
-        seg = light.unionByName(heavy)
-        gdir = os.path.join(paths.segments, f"gen={gen_id}")
-        (
-            seg.repartition("bucket")
-            .sortWithinPartitions("term", "range_id")
-            # term-sorted files + small row groups = every row group's
-            # (min_term, max_term) stats span a narrow slice, so a
-            # query-term filter prunes to 1-2 row groups per bucket —
-            # parquet footers become the term directory pages of a
-            # classical inverted index (drives both the pyarrow serving
-            # reads and Spark's scan-level row-group skipping)
-            .write.mode("overwrite")
-            .option("parquet.block.size", str(1 << 20))
-            .partitionBy("bucket")
-            .parquet(gdir)
-        )
-        runs.unpersist()
-        import glob as _glob
-
-        # an all-empty-content batch produces ZERO segment rows: the
-        # partitionBy write then leaves no schema-bearing file, so the
-        # read-back would fail — record a 0-row generation instead
-        # (readers skip rows == 0 generations entirely)
-        files = _glob.glob(os.path.join(gdir, "bucket=*", "*.parquet"))
-        if files:
-            back = spark.read.parquet(gdir)
-            agg = back.agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.sum("n_docs").alias("postings"),
-            ).collect()[0]
-            rows, postings = int(agg["rows"]), int(agg["postings"] or 0)
-        else:
-            rows, postings = 0, 0
-        return {
-            "gen": int(gen_id),
-            "groups": [int(g) for g in group_ids],
-            "rows": rows,
-            "postings": postings,
-            "bytes": dir_bytes(gdir),
-        }
 
     def _commit_segments(gens: list[dict]) -> None:
         write_manifest(

@@ -139,7 +139,12 @@ def _streaming_key_merge(runs: DataFrame, key_cols: list[str], parts: int, row_f
             for c in key_cols:
                 same &= cols[c][1:] == cols[c][:-1]
         bounds = np.concatenate(([0], np.flatnonzero(~same) + 1, [n]))
-        out_rows = [row_fn(cols, int(s), int(e)) for s, e in zip(bounds[:-1], bounds[1:])]
+        out_rows = [
+            r
+            for s, e in zip(bounds[:-1], bounds[1:])
+            # a row_fn may return None (tombstone purge emptied the key)
+            if (r := row_fn(cols, int(s), int(e))) is not None
+        ]
         return pd.DataFrame({k: [r[k] for r in out_rows] for k in SEGMENT_COLS})
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -168,27 +173,53 @@ def _streaming_key_merge(runs: DataFrame, key_cols: list[str], parts: int, row_f
     return sorted_runs.mapInPandas(gen, SEGMENT_SCHEMA)
 
 
-def merge_light_runs(runs: DataFrame, cfg: EngineConfig, parts: int) -> DataFrame:
-    """Merge all runs of each light term (one per build group) into one
-    full posting list."""
+def _tombstone_mask(docs: np.ndarray, tomb: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask for ``docs`` against the sorted tombstone docID
+    array (vectorized membership via searchsorted)."""
+    pos = np.searchsorted(tomb, docs)
+    hit = (pos < len(tomb)) & (tomb[np.minimum(pos, len(tomb) - 1)] == docs)
+    return ~hit
 
-    def row_fn(cols: dict, s: int, e: int) -> dict:
+
+def merge_light_runs(
+    runs: DataFrame, cfg: EngineConfig, parts: int, tombstones_bc=None
+) -> DataFrame:
+    """Merge all runs of each light term (one per build group) into one
+    full posting list. ``tombstones_bc`` (Spark broadcast of a sorted
+    int64 docID array) drops those docs' postings during the merge — the
+    purge half of the delete lifecycle; a term whose postings all belong
+    to deleted docs emits no row."""
+
+    def row_fn(cols: dict, s: int, e: int) -> dict | None:
         docs, tfs, dls = _decode_runs_merged(cols, s, e)
+        if tombstones_bc is not None:
+            m = _tombstone_mask(docs, tombstones_bc.value)
+            docs, tfs, dls = docs[m], tfs[m], dls[m]
+            if not len(docs):
+                return None
         return _make_segment_row(cols["term"][s], -1, docs, tfs, dls, cfg)
 
     return _streaming_key_merge(runs, ["term"], parts, row_fn)
 
 
-def merge_heavy_runs(runs: DataFrame, cfg: EngineConfig, parts: int) -> DataFrame:
+def merge_heavy_runs(
+    runs: DataFrame, cfg: EngineConfig, parts: int, tombstones_bc=None
+) -> DataFrame:
     """Heavy terms: one output row per (term, doc-range); the stage-1 salt
     IS the range id. Multiple runs per (term, range) can exist when build
     groups don't align to range boundaries (incremental appends), so this
     merges per (term, salt). No dictionary join needed: rows are
     stats-free, and the query layer recovers global df by summing
-    ``n_docs`` across the term's rows."""
+    ``n_docs`` across the term's rows. ``tombstones_bc``: as in
+    :func:`merge_light_runs`."""
 
-    def row_fn(cols: dict, s: int, e: int) -> dict:
+    def row_fn(cols: dict, s: int, e: int) -> dict | None:
         docs, tfs, dls = _decode_runs_merged(cols, s, e)
+        if tombstones_bc is not None:
+            m = _tombstone_mask(docs, tombstones_bc.value)
+            docs, tfs, dls = docs[m], tfs[m], dls[m]
+            if not len(docs):
+                return None
         return _make_segment_row(
             cols["term"][s], int(cols["salt"][s]), docs, tfs, dls, cfg
         )

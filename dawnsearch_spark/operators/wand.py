@@ -115,6 +115,9 @@ def new_counters() -> dict:
         # light-list LRU (Engine serving only; 0/0 when no cache in play)
         "light_cache_hits": 0,
         "light_cache_misses": 0,
+        # active tombstoned docIDs filtered from this search (Lucene-style
+        # deletes pending purge)
+        "tombstones": 0,
     }
 
 
@@ -292,6 +295,7 @@ def _score_one_range(
     stats: CorpusStats,
     cfg: EngineConfig,
     ctr: dict | None = None,
+    tomb: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact scores for surviving docs of one doc-range.
 
@@ -334,6 +338,17 @@ def _score_one_range(
         s[0] for lst in slices.values() for s in lst
     ]
     cand = np.unique(np.concatenate(cand_parts))
+    if tomb is not None and len(tomb):
+        # tombstoned docs leave the candidate set BEFORE any bound or θ
+        # is derived — a deleted doc must neither appear in results nor
+        # inflate θ (heavy_docs stay unmasked: positions into them drive
+        # the block-offset arithmetic below). Light slices are already
+        # tombstone-free (masked at LightList construction).
+        from dawnsearch_spark.operators.merge import _tombstone_mask
+
+        cand = cand[_tombstone_mask(cand, tomb)]
+        if not len(cand):
+            return np.zeros(0, np.int64), np.zeros(0, np.float64)
     # per-doc upper bound: block-max for heavy, exact for light
     ub = np.zeros(len(cand), np.float64)
     for t, qtf, _idf in qmeta:
@@ -416,6 +431,7 @@ def _score_ranges(
     stats: CorpusStats,
     cfg: EngineConfig,
     ctr: dict,
+    tomb: np.ndarray | None = None,
 ) -> list[tuple[float, int]]:
     """Shared WAND core for both the driver fast path and the range
     tasks: visit doc-ranges in descending upper-bound order so the local
@@ -437,7 +453,7 @@ def _score_ranges(
         lo = range_id * cfg.range_size
         hi = lo + cfg.range_size
         surv, acc = _score_one_range(
-            lo, hi, heavy_rows, lights, qmeta, theta, stats, cfg, ctr
+            lo, hi, heavy_rows, lights, qmeta, theta, stats, cfg, ctr, tomb
         )
         for d, s in zip(surv, acc):
             found.append((float(s), int(d)))
@@ -457,13 +473,19 @@ def make_range_scorer(
     k: int,
     stats: CorpusStats,
     cfg: EngineConfig,
+    tomb: np.ndarray | None = None,
 ):
-    """applyInPandas wrapper over :func:`_score_ranges`."""
+    """applyInPandas wrapper over :func:`_score_ranges`. ``tomb`` (sorted
+    tombstoned docIDs) ships in the task closure — bounded by the
+    tombstone set between purges, the same budget Lucene's per-segment
+    live-docs bitmaps carry."""
 
     def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
         ctr = {key: 0 for key in _CTR_KEYS}
         by_range = _group_rows_by_range(pdf.to_dict("records"), qmeta, stats, cfg)
-        found = _score_ranges(by_range, lights, qmeta, theta0, k, stats, cfg, ctr)
+        found = _score_ranges(
+            by_range, lights, qmeta, theta0, k, stats, cfg, ctr, tomb
+        )
         return _result_frame(found[:k], ctr)
 
     return scorer
@@ -530,6 +552,7 @@ def search_index(
     counters: dict | None = None,
     meta_by_term=None,
     light_cache: "LightListCache | None" = None,
+    tombstones: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for a query string or a {term: weight} bag.
 
@@ -551,6 +574,9 @@ def search_index(
     ctr = counters if counters is not None else new_counters()
     for key, v in new_counters().items():
         ctr.setdefault(key, v)
+    if tombstones is not None and not len(tombstones):
+        tombstones = None
+    ctr["tombstones"] = int(len(tombstones)) if tombstones is not None else 0
     k_out = k or cfg.top_k
     k = max(k_out, cfg.top_k_internal)
     paths = IndexPaths(index_root)
@@ -695,6 +721,19 @@ def search_index(
         (light_cache.hits, light_cache.misses) if light_cache is not None else (0, 0)
     )
 
+    def _mask_light(ll: LightList) -> LightList:
+        """Tombstone-filter one decoded light list (the cache stores the
+        UNMASKED arrays — they match the immutable segment rows; masking
+        is per-query state)."""
+        if tombstones is None:
+            return ll
+        from dawnsearch_spark.operators.merge import _tombstone_mask
+
+        m = _tombstone_mask(ll.docs, tombstones)
+        if m.all():
+            return ll
+        return LightList(ll.term, ll.qtf, ll.idf, ll.docs[m], ll.tfs[m], ll.dls[m])
+
     def _get_lights(wanted: list[str]) -> list[LightList]:
         """Decoded light lists for the given terms, through the Engine's
         LRU when present: cache hits skip both the segment fetch and the
@@ -725,7 +764,7 @@ def search_index(
         if light_cache is not None:
             ctr["light_cache_hits"] = light_cache.hits - cache_base[0]
             ctr["light_cache_misses"] = light_cache.misses - cache_base[1]
-        return out
+        return [_mask_light(ll) for ll in out]
 
     heavy_postings = sum(int(r["n_docs"]) for r in heavy_meta)
 
@@ -752,7 +791,7 @@ def search_index(
         task_ctr = {key: 0 for key in _CTR_KEYS}
         by_range = _group_rows_by_range(heavy_rows, qmeta, stats, cfg)
         found = _score_ranges(
-            by_range, lights, qmeta, theta0, k, stats, cfg, task_ctr
+            by_range, lights, qmeta, theta0, k, stats, cfg, task_ctr, tombstones
         )[:k]
         for key in _CTR_KEYS:
             ctr[key] += task_ctr[key]
@@ -812,6 +851,7 @@ def search_index(
                 stats,
                 cfg,
                 seed_ctr,
+                tombstones,
             )
             ctr["seed_blocks_decoded"] += seed_ctr["blocks_decoded"]
             ctr["seed_postings_scored"] += seed_ctr["postings_scored"]
@@ -859,6 +899,11 @@ def search_index(
                 from dawnsearch_spark.functions.codec import decode_block
 
                 docs_b, tfs_b, dls_b = decode_block(best_row, best_b, cfg.block_size)
+                if tombstones is not None:
+                    from dawnsearch_spark.operators.merge import _tombstone_mask
+
+                    mb = _tombstone_mask(docs_b, tombstones)
+                    docs_b, tfs_b, dls_b = docs_b[mb], tfs_b[mb], dls_b[mb]
                 seed_docs = docs_b
                 seed_scores = bag[seed_term] * bm25_np(
                     tfs_b, dls_b, idf_by_term[seed_term], stats.avgdl, cfg.k1, cfg.b
@@ -886,7 +931,7 @@ def search_index(
         split = ov.mapInPandas(_split_light_rows_gen(cfg), SEGMENT_SCHEMA)
         rows_df = rows_df.unionByName(split)
 
-    scorer = make_range_scorer(lights, qmeta, theta0, k, stats, cfg)
+    scorer = make_range_scorer(lights, qmeta, theta0, k, stats, cfg, tombstones)
     result = (
         rows_df.withColumn("task_group", F.pmod(F.col("range_id"), F.lit(task_groups)))
         .groupBy("task_group")

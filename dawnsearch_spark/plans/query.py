@@ -132,6 +132,16 @@ class Engine:
         self.last_meta_load: dict = {}
         self._meta_by_term = self._load_meta()
         self._light_cache = self._new_light_cache()
+        # Lucene-style deletes: tombstoned docIDs filter every search
+        # until purge_deletes rewrites the segments (sorted int64 array,
+        # read driver-side with zero Spark jobs)
+        self._tombstones = self._load_tombstones()
+
+    def _load_tombstones(self):
+        from dawnsearch_spark.streaming.incremental import tombstone_ids
+
+        t = tombstone_ids(self.paths.root)
+        return t if len(t) else None
 
     def _new_light_cache(self):
         from dawnsearch_spark.operators.wand import LightListCache
@@ -271,6 +281,7 @@ class Engine:
             # full reload (compaction / dict overflow): the generation
             # list changed non-monotonically — cached lists may be stale
             self._light_cache = self._new_light_cache()
+        self._tombstones = self._load_tombstones()
         return self
 
     def documents(self) -> DataFrame:
@@ -303,7 +314,30 @@ class Engine:
             counters=self.last_search_counters,
             meta_by_term=self._meta_by_term,
             light_cache=self._light_cache,
+            tombstones=self._tombstones,
         )
+
+    def delete(self, doc_ids=None, keys=None) -> dict:
+        """Tombstone-delete documents and re-sync this Engine — deleted
+        docs vanish from every subsequent search immediately; stats stay
+        pre-delete until :meth:`purge` (Lucene deleted-docs semantics)."""
+        from dawnsearch_spark.streaming.incremental import delete_documents
+
+        out = delete_documents(
+            self.spark, self.paths.root, self.cfg, doc_ids=doc_ids, keys=keys
+        )
+        self._tombstones = self._load_tombstones()
+        return out
+
+    def purge(self) -> dict:
+        """Physically remove tombstoned docs (one purged merge + forward
+        index rewrite + dictionary/stats rebuild), then re-sync. After
+        this, scores equal a from-scratch build over the surviving docs."""
+        from dawnsearch_spark.streaming.incremental import purge_deletes
+
+        out = purge_deletes(self.spark, self.paths.root, self.cfg)
+        self.refresh()
+        return out
 
     def search_df(self, query: str | dict[str, int], k: int | None = None) -> DataFrame:
         """Hydrated ranked results (J1 broadcast join + sha verification +
@@ -322,6 +356,12 @@ class Engine:
         """E2: use a stored document's term bag as the query
         (reference: embedding_for_page -> re-enter search,
         /root/reference/src/search/search_service.rs:105-124)."""
+        if self._tombstones is not None:
+            import numpy as np
+
+            i = int(np.searchsorted(self._tombstones, doc_id))
+            if i < len(self._tombstones) and int(self._tombstones[i]) == doc_id:
+                return []  # deleted docs are unreachable, like search
         row = (
             self.documents()
             .filter(F.col("doc_id") == doc_id)

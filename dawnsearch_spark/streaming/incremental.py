@@ -80,10 +80,16 @@ def append_documents(
     n_existing = int(agg["n"])
     base = int(agg["mx"]) + 1 if agg["mx"] is not None else 0
     if base != n_existing:
-        raise RuntimeError(
-            f"forward index not dense (count={n_existing}, max+1={base}); "
-            "refusing to append"
-        )
+        # docID holes are legal ONLY when the manifest recorded them
+        # (purge_deletes); otherwise this still catches a corrupt index
+        from dawnsearch_spark.manifest import read_manifest
+
+        m = read_manifest(paths.root, "documents") or {}
+        if int(m.get("id_space", -1)) != base:
+            raise RuntimeError(
+                f"forward index not dense (count={n_existing}, max+1={base}) "
+                "and no purge recorded the holes; refusing to append"
+            )
 
     # insert-dedup (J2): drop docs whose identity key already exists, then
     # dedup identity keys WITHIN the batch exactly like the first build
@@ -121,12 +127,198 @@ def append_documents(
     write_manifest(
         paths.root,
         "documents",
-        {"fingerprint": fp, "n_docs": base + n_new, "appended": n_new},
+        {"fingerprint": fp, "n_docs": n_existing + n_new,
+         "id_space": base + n_new, "appended": n_new},
     )
     log(f"append: {n_new} new docs (total {base + n_new}); stats recount + incremental merge")
     counters = build_index(spark, existing, index_root, cfg, n_groups=n_groups, log=log)
     counters["appended"] = n_new
     return counters
+
+
+def tombstone_ids(index_root: str) -> "np.ndarray":
+    """The current tombstoned docID set as a SORTED int64 array (empty if
+    none). Read driver-side via pyarrow — zero Spark jobs, the serving
+    path must not pay a job dispatch to learn what is deleted."""
+    import numpy as np
+
+    d = os.path.join(index_root, "tombstones")
+    if not os.path.isdir(d):
+        return np.zeros(0, np.int64)
+    import glob
+
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    if not files:
+        return np.zeros(0, np.int64)
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(files, format="parquet").to_table(columns=["doc_id"])
+    return np.unique(tbl.column("doc_id").to_numpy(zero_copy_only=False).astype("int64"))
+
+
+def delete_documents(
+    spark: SparkSession,
+    index_root: str,
+    cfg: EngineConfig,
+    doc_ids=None,
+    keys: DataFrame | None = None,
+    log=lambda m: None,
+) -> dict:
+    """Tombstone-delete documents (Lucene semantics, the inverse of the
+    J2 insert-dedup): deleted docs disappear from every search/hydration
+    immediately, while segment rows, the forward index, and corpus stats
+    stay untouched until :func:`purge_deletes` rewrites them — so a
+    delete is O(delete batch), never O(index). Scores of surviving docs
+    keep the PRE-delete stats until purge (exactly Lucene's deleted-docs
+    staleness). ``doc_ids``: iterable of ints; ``keys``: a DataFrame of
+    ``cfg.id_cols`` resolved against the forward index. Unknown ids are
+    ignored. Reference analog: the reference is insert-only with a
+    capacity cap (search_provider.rs:164-166) — delete is part of the
+    index lifecycle its row store never finished."""
+    import numpy as np
+
+    paths = IndexPaths(index_root)
+    existing = spark.read.parquet(paths.documents)
+    if keys is not None:
+        resolved = existing.join(
+            keys.select(*cfg.id_cols).dropDuplicates(), on=list(cfg.id_cols)
+        ).select("doc_id")
+        new_ids = np.array([r["doc_id"] for r in resolved.collect()], np.int64)
+    else:
+        new_ids = np.asarray(sorted({int(x) for x in (doc_ids or ())}), np.int64)
+    old = tombstone_ids(index_root)
+    merged = np.unique(np.concatenate([old, new_ids])) if len(new_ids) else old
+    if len(merged) == len(old):
+        log("delete: nothing new to tombstone")
+        return {"tombstones": int(len(old)), "added": 0}
+    d = os.path.join(index_root, "tombstones")
+    tmp = d + "_tmp"
+    # tmp-write -> swap -> manifest: readers treat a missing dir as empty,
+    # so any crash leaves either the old set or the new set, never half
+    spark.createDataFrame(
+        [(int(x),) for x in merged], "doc_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    os.rename(tmp, d)
+    spark.catalog.refreshByPath(d)
+    write_manifest(paths.root, "tombstones", {"count": int(len(merged))})
+    log(f"delete: {len(merged) - len(old)} new tombstones ({len(merged)} total)")
+    return {"tombstones": int(len(merged)), "added": int(len(merged) - len(old))}
+
+
+def purge_deletes(
+    spark: SparkSession,
+    index_root: str,
+    cfg: EngineConfig,
+    log=lambda m: None,
+) -> dict:
+    """Physically remove tombstoned docs: one merge of ALL generations
+    with the tombstone filter (sourced from the index's own segment rows
+    — runs/ not required), a forward-index rewrite, and a dictionary +
+    stats rebuild from the purged segments. After purge, searches are
+    score-identical to a from-scratch build over the surviving docs
+    (same N, avgdl, df, tf, dl — docIDs keep their original values, the
+    ID space just has holes). Crash-safe by the usual manifest-first
+    ordering: the tombstone set is cleared LAST, so a crash anywhere
+    leaves tombstone filtering active and results correct."""
+    import numpy as np
+
+    from dawnsearch_spark.index_build import (
+        gc_run_dirs,
+        merge_groups_to_generation,
+        segment_generations,
+    )
+    from dawnsearch_spark.manifest import (
+        MANIFEST_DIR,
+        config_fingerprint,
+        dir_bytes,
+        read_manifest,
+    )
+
+    tombs = tombstone_ids(index_root)
+    if not len(tombs):
+        log("purge: no tombstones")
+        return {"purged": 0}
+    paths = IndexPaths(index_root)
+    fp = config_fingerprint(cfg)
+    gens = segment_generations(index_root)
+    all_groups = sorted({int(x) for g in gens for x in g["groups"]})
+    heavy_terms = spark.read.parquet(paths.terms).filter(F.col("heavy"))
+
+    # 1. purged merge of every generation into one fresh generation
+    new_gen = max((int(g["gen"]) for g in gens), default=-1) + 1
+    gd = merge_groups_to_generation(
+        spark, paths, cfg, heavy_terms, all_groups, new_gen,
+        source_gens=gens, tombstones=tombs,
+    )
+    write_manifest(
+        paths.root,
+        "segments",
+        {"fingerprint": fp, "generations": [gd], "rows": gd["rows"],
+         "postings": gd["postings"], "bytes": dir_bytes(paths.segments),
+         "n_groups": len(all_groups)},
+    )
+    import shutil
+
+    for g in gens:  # manifest committed first; old dirs are now garbage
+        shutil.rmtree(
+            os.path.join(paths.segments, f"gen={int(g['gen'])}"),
+            ignore_errors=True,
+        )
+
+    # 2. runs contain the deleted postings — drop them (the dictionary
+    # fallback and any future compaction source from the purged segments)
+    gc_run_dirs(index_root, log=log)
+
+    # 3. forward-index rewrite without the tombstoned rows (tmp + swap;
+    # the manifest is invalidated first so a crash recovers by recount)
+    docs_m = read_manifest(paths.root, "documents") or {}
+    id_space = int(docs_m.get("id_space", docs_m.get("n_docs", 0)))
+    tomb_df = spark.createDataFrame([(int(x),) for x in tombs], "doc_id long")
+    live = spark.read.parquet(paths.documents).join(
+        F.broadcast(tomb_df), "doc_id", "left_anti"
+    )
+    tmp = paths.documents + "_tmp"
+    parts = max(1, spark.read.parquet(paths.documents).rdd.getNumPartitions())
+    (
+        live.repartitionByRange(parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    _invalidate(paths.root, ["documents", "stats", "terms"])
+    # two-rename swap: the unrecoverable window is one rename, not a
+    # whole directory delete + rewrite
+    old_dir = paths.documents + "_old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(paths.documents, old_dir)
+    os.rename(tmp, paths.documents)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    spark.catalog.refreshByPath(paths.documents)
+    n_live = spark.read.parquet(paths.documents).count()
+    write_manifest(
+        paths.root,
+        "documents",
+        {"fingerprint": fp, "n_docs": int(n_live), "id_space": id_space,
+         "bytes": dir_bytes(paths.documents), "purged": True},
+    )
+
+    # 4. dictionary + stats rebuild from the purged segments (stage 1b
+    # fallback — run dirs are gone, so it sources from the new generation)
+    from dawnsearch_spark.index_build import build_index
+
+    build_index(spark, spark.read.parquet(paths.documents), index_root, cfg, log=log)
+
+    # 5. tombstones cleared LAST — every earlier crash point leaves the
+    # filter active and results correct (just not yet compacted)
+    shutil.rmtree(os.path.join(index_root, "tombstones"), ignore_errors=True)
+    p = os.path.join(paths.root, MANIFEST_DIR, "tombstones.json")
+    if os.path.exists(p):
+        os.remove(p)
+    log(f"purge: {len(tombs)} docs removed; index now {n_live} live docs")
+    return {"purged": int(len(tombs)), "n_docs": int(n_live)}
 
 
 def stream_into_index(
