@@ -750,6 +750,53 @@ def q_media_decode_audio(spark, sf_dir):
     )
 
 
+def q_media_decode_g711(spark, sf_dir):
+    """G.711 μ-law telephony audio under the driver gate
+    (functions/g711.py — canonical Sun g711.c formulas, pure NumPy,
+    proven bit-exact against a scalar reference over the ENTIRE 16-bit
+    input space in tests). Unlike ADPCM/JPEG the quantization is
+    STATELESS and closed-form, so the oracle recomputes every decoded
+    sample exactly in SQL (segment CASE + integer shifts) — this row is
+    hash-exact on full decoded-signal aggregates, with no error
+    tolerance anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    from dawnsearch_spark.functions.g711 import encode_g711_wav
+    from dawnsearch_spark.operators.multimodal import decode_wav
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy("int64")
+            rows = {"doc_id": ids, "n_samples": [], "sample_rate": [],
+                    "sum_dec": [], "min_dec": [], "max_dec": []}
+            for did in ids:
+                did = int(did)
+                k = did % 7 + 3
+                n = 1500 + did % 101
+                j = np.arange(n, dtype=np.int64)
+                s = (8 * (np.abs((j * k + did) % 4096 - 2048) - 1024)).astype(np.int16)
+                # encode -> decode through the WAV dispatch layer
+                dec, rate = decode_wav(encode_g711_wav(s, 8000, "ulaw"))
+                dec = dec.reshape(-1).astype(np.int64)
+                rows["n_samples"].append(len(dec))
+                rows["sample_rate"].append(rate)
+                rows["sum_dec"].append(int(dec.sum()))
+                rows["min_dec"].append(int(dec.min()))
+                rows["max_dec"].append(int(dec.max()))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        gen,
+        "doc_id long, n_samples long, sample_rate int, "
+        "sum_dec long, min_dec int, max_dec int",
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary media column -> vectorized per-byte
     features, emitted as scalar columns (driver-hashable) with a DuckDB
@@ -1028,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_png": q_media_decode_png,
         "media_decode_jpeg": q_media_decode_jpeg,
         "media_decode_audio": q_media_decode_audio,
+        "media_decode_g711": q_media_decode_g711,
     }
 
 
@@ -1458,5 +1506,37 @@ def oracle_sql() -> dict[str, str]:
                    AS sample_505,
                1 AS err_ok
         FROM documents WHERE doc_id < 50
+    """
+    # G.711 μ-law: decode(encode(s)) is a pure integer function (clip +
+    # bias, segment, mantissa, re-expand — Sun g711.c), so every decoded
+    # sample is recomputed exactly in SQL — no tolerance anywhere
+    out["media_decode_g711"] = """
+        WITH s AS (
+          SELECT doc_id, unnest(range(0, 1500 + doc_id % 101)) AS j
+          FROM documents WHERE doc_id < 50
+        ), v AS (
+          SELECT doc_id,
+                 8 * (abs((j * (doc_id % 7 + 3) + doc_id) % 4096 - 2048) - 1024) AS pcm
+          FROM s
+        ), m AS (
+          SELECT doc_id, pcm, least(abs(pcm), 32635) + 132 AS mag0 FROM v
+        ), e AS (
+          SELECT doc_id, pcm, mag0,
+                 CASE WHEN mag0 <= 255 THEN 0 WHEN mag0 <= 511 THEN 1
+                      WHEN mag0 <= 1023 THEN 2 WHEN mag0 <= 2047 THEN 3
+                      WHEN mag0 <= 4095 THEN 4 WHEN mag0 <= 8191 THEN 5
+                      WHEN mag0 <= 16383 THEN 6 ELSE 7 END AS ex
+          FROM m
+        ), dec AS (
+          SELECT doc_id,
+                 (CASE WHEN pcm < 0 THEN -1 ELSE 1 END)
+                 * (((((mag0 >> (ex + 3)) & 15) * 8 + 132) * (1 << ex)) - 132)
+                   AS dv
+          FROM e
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_samples, 8000 AS sample_rate,
+               sum(dv)::BIGINT AS sum_dec, min(dv)::INT AS min_dec,
+               max(dv)::INT AS max_dec
+        FROM dec GROUP BY doc_id
     """
     return out

@@ -353,10 +353,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
                 from dawnsearch_spark.functions.adpcm import decode_ima_adpcm
 
                 return decode_ima_adpcm(payload)
+            if audio_fmt in (6, 7) and bits == 8:
+                # G.711 A-law / μ-law telephony WAV decodes for real
+                from dawnsearch_spark.functions.g711 import decode_g711_wav
+
+                return decode_g711_wav(payload)
             if audio_fmt != 1 or bits != 16:
                 raise NotImplementedError(
-                    "WAV decode supports 16-bit PCM (fmt 1) and 4-bit IMA "
-                    f"ADPCM (fmt 0x11) — got fmt={audio_fmt}, bits={bits}"
+                    "WAV decode supports 16-bit PCM (fmt 1), 4-bit IMA "
+                    "ADPCM (fmt 0x11) and 8-bit G.711 (fmt 6/7) — got "
+                    f"fmt={audio_fmt}, bits={bits}"
                 )
             n = length // (2 * ch)
             samples = np.frombuffer(payload, "<i2", count=n * ch, offset=data_off)
@@ -454,6 +460,17 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
                 if fmt_tag == 1 and bits == 16:
                     cnt = dlen // (2 * ch)
                     samples[i] = np.frombuffer(p, "<i2", count=cnt * ch, offset=off)
+                elif fmt_tag in (6, 7) and bits == 8 and ch == 1:
+                    # G.711 is a stateless per-sample table map — one
+                    # vectorized pass, no block structure needed
+                    from dawnsearch_spark.functions.g711 import (
+                        alaw_decode,
+                        ulaw_decode,
+                    )
+
+                    codes = np.frombuffer(p, np.uint8, count=dlen, offset=off)
+                    dec = ulaw_decode(codes) if fmt_tag == 7 else alaw_decode(codes)
+                    samples[i] = dec if fact_n is None else dec[:fact_n]
                 elif fmt_tag == 0x11 and bits == 4 and ch == 1:
                     nb = dlen // balign
                     blocks = np.frombuffer(

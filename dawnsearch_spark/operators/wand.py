@@ -473,18 +473,20 @@ def make_range_scorer(
     k: int,
     stats: CorpusStats,
     cfg: EngineConfig,
-    tomb: np.ndarray | None = None,
+    tomb=None,
 ):
     """applyInPandas wrapper over :func:`_score_ranges`. ``tomb`` (sorted
-    tombstoned docIDs) ships in the task closure — bounded by the
-    tombstone set between purges, the same budget Lucene's per-segment
-    live-docs bitmaps carry."""
+    tombstoned docIDs, plain array or ``pyspark.Broadcast`` of one) is
+    bounded by the tombstone set between purges — the same budget
+    Lucene's per-segment live-docs bitmaps carry; callers pass a
+    Broadcast so the set ships once per executor, not once per task."""
 
     def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = tomb.value if hasattr(tomb, "value") else tomb
         ctr = {key: 0 for key in _CTR_KEYS}
         by_range = _group_rows_by_range(pdf.to_dict("records"), qmeta, stats, cfg)
         found = _score_ranges(
-            by_range, lights, qmeta, theta0, k, stats, cfg, ctr, tomb
+            by_range, lights, qmeta, theta0, k, stats, cfg, ctr, t
         )
         return _result_frame(found[:k], ctr)
 
@@ -931,7 +933,10 @@ def search_index(
         split = ov.mapInPandas(_split_light_rows_gen(cfg), SEGMENT_SCHEMA)
         rows_df = rows_df.unionByName(split)
 
-    scorer = make_range_scorer(lights, qmeta, theta0, k, stats, cfg, tombstones)
+    tomb_ship = (
+        spark.sparkContext.broadcast(tombstones) if tombstones is not None else None
+    )
+    scorer = make_range_scorer(lights, qmeta, theta0, k, stats, cfg, tomb_ship)
     result = (
         rows_df.withColumn("task_group", F.pmod(F.col("range_id"), F.lit(task_groups)))
         .groupBy("task_group")

@@ -381,6 +381,9 @@ class Engine:
             "n_docs": self.stats_.n_docs,
             "avgdl": self.stats_.avgdl,
             "total_tokens": self.stats_.total_tokens,
+            "tombstones": int(len(self._tombstones))
+            if self._tombstones is not None
+            else 0,
             "last_search": getattr(self, "last_search_counters", {}),
             "manifests": list_manifests(self.paths.root),
         }

@@ -194,10 +194,14 @@ def delete_documents(
     d = os.path.join(index_root, "tombstones")
     tmp = d + "_tmp"
     # tmp-write -> swap -> manifest: readers treat a missing dir as empty,
-    # so any crash leaves either the old set or the new set, never half
-    spark.createDataFrame(
-        [(int(x),) for x in merged], "doc_id long"
-    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    # so any crash leaves either the old set or the new set, never half.
+    # Only the NEW batch is driver-materialized (bounded by the delete
+    # call); the accumulated set merges distributed via the parquet union
+    # so a long-lived tombstone set never round-trips through the driver.
+    new_df = spark.createDataFrame([(int(x),) for x in new_ids], "doc_id long")
+    if os.path.isdir(d):
+        new_df = spark.read.parquet(d).unionByName(new_df)
+    new_df.dropDuplicates(["doc_id"]).coalesce(1).write.mode("overwrite").parquet(tmp)
     import shutil
 
     shutil.rmtree(d, ignore_errors=True)
