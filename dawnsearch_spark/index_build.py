@@ -288,21 +288,34 @@ def merge_groups_to_generation(
         tomb_bc = spark.sparkContext.broadcast(
             np.sort(np.asarray(tombstones, np.int64))
         )
+    # Size the merge to its INPUT, not the cluster: an append merges one
+    # small generation's worth of runs, and 32 near-empty shuffle tasks
+    # cost whole seconds of fixed overhead on tiny input (the same
+    # rationale as _doc_partitions). ~250k postings per merge task; a
+    # full build still fans out to build_partitions.
+    if source_gens is not None:
+        in_postings = sum(int(g.get("postings", 0) or 0) for g in source_gens)
+    else:
+        in_postings = sum(
+            int((read_manifest(paths.root, f"runs_group_{g}") or {}).get("postings", 0) or 0)
+            for g in group_ids
+        )
+    merge_parts = max(1, min(cfg.build_partitions, in_postings // 250_000 + 1))
     runs = reclassify_runs(runs_raw, split_terms, cfg).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     light = merge_light_runs(
-        runs.filter(F.col("salt") == -1), cfg, cfg.build_partitions,
+        runs.filter(F.col("salt") == -1), cfg, merge_parts,
         tombstones_bc=tomb_bc,
     )
     heavy = merge_heavy_runs(
-        runs.filter(F.col("salt") >= 0), cfg, cfg.build_partitions,
+        runs.filter(F.col("salt") >= 0), cfg, merge_parts,
         tombstones_bc=tomb_bc,
     )
     seg = light.unionByName(heavy)
     gdir = os.path.join(paths.segments, f"gen={gen_id}")
     (
-        seg.repartition("bucket")
+        seg.repartition(merge_parts, "bucket")
         .sortWithinPartitions("term", "range_id")
         # term-sorted files + small row groups = every row group's
         # (min_term, max_term) stats span a narrow slice, so a
@@ -485,41 +498,91 @@ def build_index(
     heavy_bc = None
     use_join_salting = False
     sampled_heavy = None
-    if pending and n_docs_total <= cfg.heavy_sample_min_docs:
-        # Small corpus: the "sampled" detection would run at frac = 1.0,
-        # i.e. a SECOND full tokenize pass over the whole content (this was
-        # the round-2 bench regression at exactly 20k docs). Skip detection
-        # entirely — stage 2 builds every run light, and the merge re-salts
-        # the exactly-heavy terms from the exact dictionary
-        # (reclassify_runs), which at this size costs a decode+re-encode of
-        # a handful of stopword-like lists instead of a full content pass.
-        # Identical final layout: a term is served salted iff its exact df
-        # exceeds the threshold, which is also what detection converges to.
-        heavy_bc = spark.sparkContext.broadcast(frozenset())
+    # Detection scope: salting only affects the PENDING groups' runs (a
+    # misclassification either way is repaired at merge by
+    # reclassify_runs), so on an APPEND the committed dictionary supplies
+    # the old corpus's heavy set EXACTLY — one column-pruned read of the
+    # (bounded, ~avgdl/heavy_df_ratio) heavy terms — and only the NEW doc
+    # range is ever sampled. Detection cost is O(batch), never O(corpus):
+    # the pre-round-5 behavior sampled the WHOLE corpus per append (the
+    # min-docs floor drove the fraction toward 1.0 — a full re-tokenize
+    # of the index to salt one batch).
+    committed_heavy: frozenset = frozenset()
+    pending_lo = min((lo for _, lo, _ in pending), default=0)
+    terms_m0 = read_manifest(paths.root, "terms")
+    # the range restriction applies only when the committed dictionary
+    # actually covers the committed groups (a real append). A partial
+    # FIRST build resumed after a crash has no dictionary yet — it keeps
+    # the whole-corpus sample, so a resumed build makes the SAME salting
+    # decisions as a never-crashed one (segment byte-identity on resume).
+    dict_ok = (
+        bool(pending)
+        and pending_lo > 0
+        and terms_m0 is not None
+        and terms_m0.get("fingerprint") == fp
+        and {int(x) for x in terms_m0.get("groups", [])}
+        == {g for g, _, _, c in plan if c}
+        and _has_success(paths.terms)
+    )
+    if dict_ok:
+        committed_heavy = frozenset(
+            r["term"]
+            for r in spark.read.parquet(paths.terms)
+            .filter(F.col("heavy"))
+            .select("term")
+            .collect()
+        )
+        sample_lo = pending_lo
+        n_sample_docs = max(0, id_space - pending_lo)
+    else:
+        sample_lo = 0
+        n_sample_docs = n_docs_total
+    if pending and n_sample_docs <= cfg.heavy_sample_min_docs:
+        # Small pending range: the "sampled" detection would run at
+        # frac ≈ 1.0, i.e. a full tokenize pass over the pending content
+        # (this was the round-2 bench regression at exactly 20k docs).
+        # Skip the pass — pending runs salt by the committed heavy set
+        # alone (empty on a first build), and the merge re-salts the
+        # exactly-heavy remainder from the exact dictionary
+        # (reclassify_runs): identical final layout, since a term is
+        # served salted iff its exact df exceeds the threshold.
+        heavy_bc = spark.sparkContext.broadcast(committed_heavy)
         log(
-            "stage1a: corpus <= heavy_sample_min_docs — detection pass "
-            "skipped; merge-time reclassify salts heavy terms exactly"
+            f"stage1a: pending range <= heavy_sample_min_docs — detection "
+            f"pass skipped; {len(committed_heavy)} committed heavy terms "
+            "pre-salt, merge-time reclassify covers the rest"
         )
     elif pending:
-        frac = max(cfg.heavy_sample_fraction, cfg.heavy_sample_min_docs / n_docs_total)
-        sample = documents.sample(fraction=frac, seed=42)
+        frac = max(
+            cfg.heavy_sample_fraction, cfg.heavy_sample_min_docs / n_sample_docs
+        )
+        sample = (
+            documents.filter(F.col("doc_id") >= sample_lo) if sample_lo else documents
+        ).sample(fraction=frac, seed=42)
         sampled_heavy = document_frequencies_fast(sample, cfg.content_col).filter(
             F.col("df") > F.lit(max(1.0, eff_heavy * frac))
         ).select("term")
         probe = sampled_heavy.limit(cfg.max_broadcast_heavy_terms + 1).collect()
-        if len(probe) <= cfg.max_broadcast_heavy_terms:
+        if len(probe) + len(committed_heavy) <= cfg.max_broadcast_heavy_terms:
             # tiny (stopword-like terms only): ship once per executor as a
             # Spark broadcast, NOT captured in each task closure
-            heavy_set = frozenset(r["term"] for r in probe)
+            heavy_set = frozenset(r["term"] for r in probe) | committed_heavy
             heavy_bc = spark.sparkContext.broadcast(heavy_set)
             log(
                 f"stage1a sampled heavy terms: {len(heavy_set)} "
-                f"(fraction={frac:.4f}, threshold={eff_heavy})"
+                f"(fraction={frac:.4f} over docs >= {sample_lo}, "
+                f"threshold={eff_heavy})"
             )
         else:
             # the heavy set itself is too large to ship — fall back to the
             # fully-distributed join-based salting (with_salt shuffle join)
             use_join_salting = True
+            if committed_heavy:
+                sampled_heavy = sampled_heavy.unionByName(
+                    spark.createDataFrame(
+                        [(t,) for t in committed_heavy], "term string"
+                    )
+                ).distinct()
             log(
                 f"stage1a: > {cfg.max_broadcast_heavy_terms} sampled heavy terms; "
                 "using join-based salting"
