@@ -324,6 +324,42 @@ def main() -> None:
             "refresh": refresh_mode,
             "post_append_counters": post_ctr,
         }
+
+        # delete lifecycle at bench scale: tombstone 5% of the docs
+        # (O(batch)), serve under the filter, then PURGE (tombstone-
+        # filtered merge of all generations + forward rewrite + dict/
+        # stats rebuild) and serve again
+        from dawnsearch_spark.streaming.incremental import (
+            delete_documents,
+            purge_deletes,
+        )
+
+        del_ids = list(range(0, n_docs, 20))
+        t0 = time.time()
+        delete_documents(spark, idx_dir, acfg, doc_ids=del_ids)
+        del_sec = round(time.time() - t0, 3)
+        engine.refresh()
+        t0 = time.time()
+        for qid in qids[:5]:
+            engine.search(REFERENCE_QUERIES[qid])
+        tombstoned_wand = round((time.time() - t0) / 5, 3)
+        t0 = time.time()
+        purge_deletes(spark, idx_dir, acfg)
+        purge_sec = round(time.time() - t0, 3)
+        engine.refresh()
+        t0 = time.time()
+        for qid in qids[:5]:
+            engine.search(REFERENCE_QUERIES[qid])
+        purged_wand = round((time.time() - t0) / 5, 3)
+        timings["delete_and_purge"] = round(del_sec + purge_sec, 3)
+        extras["delete_pass"] = {
+            "deleted": len(del_ids),
+            "delete_sec": del_sec,
+            "wand_avg_with_tombstones": tombstoned_wand,
+            "purge_sec": purge_sec,
+            "wand_avg_after_purge": purged_wand,
+            "index_bytes_after_purge": dir_bytes(idx_dir),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
