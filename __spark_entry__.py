@@ -922,6 +922,87 @@ def q_wand_topk_dist(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_stream_window_counts(spark, sf_dir):
+    """ST2/windows under the driver gate: a REAL Structured Streaming run
+    of watermarked tumbling event-time windows (the reference's
+    deadline-gather made exact, udp_service.rs:300-341). The events table
+    arrives as two TIME-ORDERED parquet batches (one per micro-batch, file
+    mtimes pinned so the source order is deterministic), flows through
+    ``windowed_event_counts`` (1h tumbling windows, 2h watermark,
+    append-mode emission on window close), and the run terminates with
+    availableNow. Arrival in time order means nothing is late-dropped, so
+    every emitted window carries its FULL batch-SQL count; windows within
+    3h of the global max timestamp are filtered from BOTH sides (the
+    final watermark sits 2h back, so near-boundary windows may or may not
+    have closed — excluding them makes the comparison independent of the
+    engine's boundary convention)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dawnsearch_spark.streaming.stateful import windowed_event_counts
+
+    # watermarks require TIMESTAMP (the table stores TIMESTAMP_NTZ); the
+    # output window_start is cast back to NTZ so the oracle schema matches
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    mn, mx = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    split = mn + (mx - mn) / 2
+    work = tempfile.mkdtemp(prefix=f"dawnsearch_swin_{uuid.uuid4().hex[:8]}_")
+    try:
+        src = os.path.join(work, "incoming")
+        os.makedirs(src)
+        for i, pred in enumerate(
+            [F.col("ts") <= F.lit(split), F.col("ts") > F.lit(split)]
+        ):
+            events.filter(pred).coalesce(1).write.parquet(
+                os.path.join(src, f"batch={i}")
+            )
+        # pin modification times so the file source replays batch 0 first
+        # (equal mtimes would make arrival order — and thus lateness —
+        # nondeterministic)
+        import glob as _glob
+
+        for i in (0, 1):
+            for f in _glob.glob(os.path.join(src, f"batch={i}", "*")):
+                os.utime(f, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        out = os.path.join(work, "out")
+        q = (
+            windowed_event_counts(
+                stream, ts_col="ts", window="1 hour", watermark="2 hours",
+                group_cols=("event_type",), value_col="value",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.read.parquet(out).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    import datetime as _dt
+
+    cutoff = mx - _dt.timedelta(hours=3)
+    got = spark.createDataFrame(
+        [
+            (r["window_start"], r["event_type"], int(r["n"]), float(r["sum_value"]))
+            for r in rows
+            if r["window_end"] <= cutoff
+        ] or [],
+        "window_start timestamp_ntz, event_type string, n long, sum_value double",
+    )
+    return got
+
+
 def q_wand_delete_purge(spark, sf_dir):
     """Index-lifecycle DELETE under the driver gate (S5's inverse; the
     reference is insert-only with a capacity cap,
@@ -1038,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk_2": q_wand_topk_2,
         "wand_topk_dist": q_wand_topk_dist,
         "wand_delete_purge": q_wand_delete_purge,
+        "stream_window_counts": q_stream_window_counts,
         "more_like": q_more_like,
         "filter_project": q_filter_project,
         "length_gate": q_length_gate,
@@ -1401,6 +1483,20 @@ def oracle_sql() -> dict[str, str]:
         # so exactly-first-per-key == DISTINCT over the arrival range
         "stream_dedup": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 200
+        """,
+        # time-ordered arrival => no late drops, so every emitted window
+        # carries its full batch count; windows within 3h of max(ts) are
+        # excluded on BOTH sides (watermark boundary convention)
+        "stream_window_counts": """
+            WITH mx AS (SELECT max(ts) AS m FROM events),
+            w AS (
+              SELECT date_trunc('hour', ts) AS window_start, event_type,
+                     count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+              FROM events GROUP BY 1, 2
+            )
+            SELECT window_start, event_type, n, sum_value
+            FROM w, mx
+            WHERE window_start + INTERVAL 1 HOUR <= m - INTERVAL 3 HOUR
         """,
         "decontaminate": f"""
             WITH sh AS (
