@@ -583,6 +583,33 @@ def q_ivf_topk(spark, sf_dir):
     return cosine_topk(sel, qvec, k=10)
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN under the driver gate: vectors compress
+    64 float64 components -> 8 code bytes (m=8 subspaces, 16 centroids
+    each), and search runs entirely over CODES with a per-query lookup
+    table (ADC). The codes and trained codebooks are exported, so the
+    DuckDB twin recomputes EVERY asymmetric distance from first
+    principles (normalized query joined against codebook components ->
+    per-(subspace, code) LUT -> summed per vector) — the approximation is
+    checked exactly, not against recall."""
+    from dawnsearch_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_code_rows,
+        pq_codebook_rows,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    data = emb.filter(F.col("vec_id") != 0)
+    cb = train_pq_codebooks(data, m=8, ksub=16)
+    codes = pq_encode(data, cb)
+    _export(pq_code_rows(codes, m=8), "pq_codes")
+    _export(pq_codebook_rows(spark, cb), "pq_codebook")
+    return pq_adc_topk(codes, qvec, cb, k=10)
+
+
 def q_media_decode(spark, sf_dir):
     """Real image decode (pure-NumPy 24-bit BMP codec): synthesize one BMP
     per doc with a closed-form pixel pattern, decode it back, and emit
@@ -1158,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_jpeg": q_media_decode_jpeg,
         "media_decode_audio": q_media_decode_audio,
         "media_decode_g711": q_media_decode_g711,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -1349,6 +1377,37 @@ def oracle_sql() -> dict[str, str]:
                 WHERE cell IN (SELECT cell
                                FROM read_parquet('{_EXPORT_ROOT}/ivf_probe/*.parquet'))"""
         ),
+        # PQ/ADC: recompute every asymmetric distance from the exported
+        # codes + codebooks and the normalized query — the compressed
+        # index's math checked exactly (dsub = 8: d = j*8 + cb.d)
+        "pq_topk": f"""
+            WITH qn AS (
+              SELECT list_transform(embedding,
+                       x -> x / sqrt(list_aggregate(
+                              list_transform(embedding, y -> y * y), 'sum')))
+                     AS v
+              FROM embeddings WHERE vec_id = 0
+            ),
+            q AS (
+              SELECT d.d AS d, qn.v[d.d + 1] AS val
+              FROM qn, (SELECT unnest(range(0, 64)) AS d) d
+            ),
+            lut AS (
+              SELECT cb.j, cb.code,
+                     sum((cb.val - q.val) * (cb.val - q.val)) AS dist
+              FROM read_parquet('{_EXPORT_ROOT}/pq_codebook/*.parquet') cb
+              JOIN q ON q.d = cb.j * 8 + cb.d
+              GROUP BY cb.j, cb.code
+            ),
+            adc AS (
+              SELECT c.vec_id, sum(l.dist) AS s
+              FROM read_parquet('{_EXPORT_ROOT}/pq_codes/*.parquet') c
+              JOIN lut l ON c.j = l.j AND c.code = l.code
+              GROUP BY c.vec_id
+            )
+            SELECT vec_id, round(s, 6) AS adc FROM adc
+            ORDER BY s, vec_id LIMIT 10
+        """,
         "filter_project": """
             SELECT event_id, user_id,
                    event_type || ':' || user_id::VARCHAR AS tag,

@@ -250,6 +250,199 @@ def ivf_probe_cells(
     return [int(c) for c in np.argsort(-(cents @ qn), kind="stable")[:nprobe]]
 
 
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    sample_size: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks: split the (unit-normalized) vector
+    into ``m`` subspaces and k-means each to ``ksub`` centroids ->
+    (m, ksub, dsub) float64. PQ is the memory-compression axis that makes
+    100-TB ANN feasible: a 384-d float32 vector (1536 B) becomes m code
+    bytes (~48 B at m=48), and search scans CODES with a per-query lookup
+    table instead of touching raw vectors (reference analog: the i24/i16
+    requantized wire vectors, src/search/vector.rs:30-87 — PQ is the
+    trained, per-subspace version of the same idea). Same training
+    discipline as the IVF coarse quantizer: seeded sample, stable argmin,
+    empty-cell reseed to worst-fit points, a constant-size driver collect
+    at any corpus scale."""
+    rows = emb.orderBy(F.col(id_col)).limit(sample_size).select(vec_col).collect()
+    if not rows:
+        raise ValueError("cannot train PQ codebooks on an empty relation")
+    X = np.stack([np.asarray(r[0], np.float64) for r in rows])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"PQ needs m to divide dim (dim={dim}, m={m})")
+    dsub = dim // m
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Xn = (X / norms).reshape(len(X), m, dsub)
+    rng = np.random.default_rng(seed + 3)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        S = Xn[:, j]
+        if len(S) >= ksub:
+            C = S[rng.choice(len(S), ksub, replace=False)].copy()
+        else:
+            C = rng.standard_normal((ksub, dsub)) * 0.01
+            C[: len(S)] = S
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            M = np.zeros_like(C)
+            np.add.at(M, a, S)
+            counts = np.bincount(a, minlength=ksub)
+            worst = np.argsort(-d2[np.arange(len(S)), a], kind="stable")
+            wi = 0
+            for c in range(ksub):
+                if counts[c] == 0:
+                    M[c] = S[worst[wi]] if wi < len(worst) else C[c]
+                    wi += 1
+                else:
+                    M[c] = M[c] / counts[c]
+            C = M
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code binary): each (unit-normalized) vector quantized to its
+    nearest codebook entry per subspace — ``m`` bytes per vector. One
+    vectorized NumPy pass per Arrow batch (argmin over a (B, ksub)
+    distance matrix per subspace); at cluster scale this runs once at
+    write time and queries never touch the raw vectors again."""
+    cb = np.ascontiguousarray(codebooks, np.float64)
+    m, ksub, dsub = cb.shape
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(M, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            S = (M / norms).reshape(len(M), m, dsub)
+            codes = np.empty((len(M), m), np.uint8)
+            for j in range(m):
+                d2 = ((S[:, j, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "code": [c.tobytes() for c in codes]}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(gen, f"{id_col} long, code binary")
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    qvec: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: one (m, ksub) lookup
+    table of squared subdistances from the normalized query, then every
+    row's distance is ``sum_j LUT[j, code_j]`` — a pure table-gather per
+    Arrow batch, no vector math per row. On unit vectors L2 ranks
+    identically to cosine (||q - x||^2 = 2 - 2 cos), so this is the
+    compressed twin of :func:`cosine_topk`. Ascending (adc, id) order."""
+    cb = np.ascontiguousarray(codebooks, np.float64)
+    m, ksub, dsub = cb.shape
+    q = np.asarray(qvec, np.float64)
+    qn = (q / (np.linalg.norm(q) or 1.0)).reshape(m, dsub)
+    lut = ((cb - qn[:, None, :]) ** 2).sum(axis=2)  # (m, ksub)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(
+                [np.frombuffer(b, np.uint8, count=m) for b in pdf["code"]]
+            ).astype(np.int64)
+            dist = lut[cols[None, :], C].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "adc": dist})
+
+    scored = codes.select(id_col, "code").mapInPandas(gen, f"{id_col} long, adc double")
+    return (
+        scored.orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("adc", 6).alias("adc"))
+    )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    codes: DataFrame,
+    qvec: list[float],
+    codebooks: np.ndarray,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The standard PQ deployment recipe: ADC over the compressed codes
+    produces a ``shortlist`` of candidates (cheap, code-only), then ONLY
+    those rows' raw vectors are fetched for an exact cosine re-rank —
+    recall recovers to near-exact while the full-corpus scan still never
+    touches a raw vector. At scale the shortlist join is a broadcast of
+    ``shortlist`` ids into a pruned scan (same shape as the WAND
+    hydration join J1)."""
+    short = pq_adc_topk(codes, qvec, codebooks, k=shortlist, id_col=id_col)
+    sel = emb.join(F.broadcast(short.select(id_col)), id_col, "left_semi")
+    return cosine_topk(sel, qvec, k, id_col, vec_col)
+
+
+def pq_code_rows(
+    codes: DataFrame, m: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Long-form (id, j, code) rows of the compact binary codes — the
+    oracle-export shape (a SQL engine joins these against the codebook
+    rows to recompute every ADC distance from first principles)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack([np.frombuffer(b, np.uint8, count=m) for b in pdf["code"]])
+            ids = pdf[id_col].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, m),
+                    "j": np.tile(np.arange(m, dtype=np.int32), len(ids)),
+                    "code": C.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return codes.select(id_col, "code").mapInPandas(
+        gen, f"{id_col} long, j int, code int"
+    )
+
+
+def pq_codebook_rows(spark, codebooks: np.ndarray) -> DataFrame:
+    """(j, code, d, val) rows of the trained codebooks for the oracle
+    export (tiny: m * ksub * dsub rows)."""
+    cb = np.asarray(codebooks, np.float64)
+    m, ksub, dsub = cb.shape
+    rows = [
+        (int(j), int(c), int(d), float(cb[j, c, d]))
+        for j in range(m)
+        for c in range(ksub)
+        for d in range(dsub)
+    ]
+    return spark.createDataFrame(rows, "j int, code int, d int, val double")
+
+
 def ivf_topk(
     emb: DataFrame,
     qvec: list[float],
