@@ -969,6 +969,26 @@ def q_stream_window_counts(spark, sf_dir):
 
     from dawnsearch_spark.streaming.stateful import windowed_event_counts
 
+    # Pin the session timezone to UTC for the whole run: the NTZ->TIMESTAMP
+    # cast interprets wall-clock in the session zone and Spark aligns
+    # tumbling windows to the epoch, so under a non-whole-hour offset
+    # (e.g. +05:30) window boundaries would shift 30 minutes away from the
+    # oracle's date_trunc('hour') on the NTZ wall-clock.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        return _stream_window_counts_utc(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def _stream_window_counts_utc(spark, sf_dir):
+    import shutil
+    import tempfile
+    import uuid
+
+    from dawnsearch_spark.streaming.stateful import windowed_event_counts
+
     # watermarks require TIMESTAMP (the table stores TIMESTAMP_NTZ); the
     # output window_start is cast back to NTZ so the oracle schema matches
     events = _t(spark, sf_dir, "events").select(

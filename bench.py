@@ -176,6 +176,68 @@ def main() -> None:
         timings["wand_topk_repeat_avg"] = round((time.time() - t0) / len(qids), 3)
         extras["wand_repeat_counters"] = repeat_ctr
 
+        # Serving-throughput pass (VERDICT r5 #6): the reference serves
+        # many in-flight searches from ONE single-threaded tokio select
+        # loop with an ActiveSearch table
+        # (/root/reference/src/net/udp_service.rs:296-341) — concurrency
+        # by interleaving on one event loop, never OS-thread parallelism.
+        # Our driver fast path is the same shape (pure Python/NumPy under
+        # the GIL), so the honest serving number is single-loop QPS over
+        # the FULL 25-query reference set; the thread sweep below is the
+        # measurement (not an assumption) that OS threads are the wrong
+        # axis here — CPython's GIL convoy makes 8 threads SLOWER than 1
+        # (scale-out serving multiplies processes, not threads).
+        import concurrent.futures as cf
+
+        all_q = [REFERENCE_QUERIES[q] for q in REFERENCE_QUERIES]
+        for q in all_q:  # warm the light LRU for queries 11-25
+            engine.search(q, counters={})
+        lat: list[float] = []
+        t0 = time.time()
+        for _ in range(4):
+            for q in all_q:
+                s0 = time.time()
+                engine.search(q, counters={})
+                lat.append(time.time() - s0)
+        wall = time.time() - t0
+        lat.sort()
+        timings["serving_loop"] = round(wall, 3)
+        extras["serving_qps"] = round(len(lat) / wall, 1)
+        extras["serving_p50_sec"] = round(lat[len(lat) // 2], 4)
+        extras["serving_p95_sec"] = round(lat[int(len(lat) * 0.95)], 4)
+        sweep = {}
+        for T in (2, 8):
+            def _serve(tid: int, rounds: int = 2) -> None:
+                for _ in range(rounds):
+                    for q in all_q:
+                        engine.search(q, counters={})
+
+            t0 = time.time()
+            with cf.ThreadPoolExecutor(max_workers=T) as ex:
+                list(ex.map(_serve, range(T)))
+            w = time.time() - t0
+            sweep[f"t{T}"] = {
+                "threads": T,
+                "searches": T * 2 * len(all_q),
+                "qps": round(T * 2 * len(all_q) / w, 1),
+            }
+        extras["serving_pass"] = {
+            "model": "single event loop (reference parity: udp_service.rs "
+                     "one tokio task + ActiveSearch table)",
+            "searches": len(lat),
+            "wall_sec": round(wall, 3),
+            "qps": extras["serving_qps"],
+            "p50_sec": extras["serving_p50_sec"],
+            "p95_sec": extras["serving_p95_sec"],
+            "p99_sec": round(lat[int(len(lat) * 0.99)], 4),
+            "max_sec": round(lat[-1], 4),
+            "thread_sweep": sweep,
+            "thread_sweep_note": "GIL convoy measured: threads reduce QPS "
+                                 "on the in-RAM fast path; scale serving "
+                                 "with processes (one Engine per process, "
+                                 "shared page cache), not threads",
+        }
+
         # block-max payoff pass (VERDICT r3 #5): discriminative queries —
         # one mid-df term + the two heaviest stopword-like terms. The θ
         # seed (driver-scored light lists + best range) exceeds the
@@ -417,18 +479,58 @@ def main() -> None:
     release_handles(handles)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "dawnsearch_spark bench: index build + WAND + operator suite",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                **extras,
-            }
+    # Emission contract (VERDICT r5 #1): the driver captures only the TAIL
+    # of stdout, and round 5's final line — carrying every bulky detail
+    # section inline — outgrew that capture, leaving BENCH_r05.json with
+    # parsed=null and no headline at all. So: bulky sections (draws,
+    # counter families, append/delete/serving passes) are printed as their
+    # own EARLIER stdout lines and written to BENCH_DETAILS.json beside
+    # this script, and the FINAL line is a compact headline (~1 KB) that
+    # always fits the capture window.
+    headline_extras = {
+        k: extras[k]
+        for k in (
+            "docs_indexed",
+            "index_docs_per_sec",
+            "job_floor_sec",
+            "serving_qps",
+            "serving_p50_sec",
+            "serving_p95_sec",
         )
-    )
+        if k in extras
+    }
+    detail = {k: v for k, v in extras.items() if k not in headline_extras}
+    for name in sorted(detail):
+        print(json.dumps({"detail": name, name: detail[name]}))
+    try:
+        side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_DETAILS.json")
+        with open(side, "w") as f:
+            json.dump({"headline_total_sec": total, "queries": timings,
+                       **extras}, f, indent=1, sort_keys=True)
+        print(f"bench details -> {side}")
+    except OSError:
+        pass  # read-only checkout: stdout detail lines already carry it
+    final = {
+        "metric": "dawnsearch_spark bench: index build + WAND + operator suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **headline_extras,
+        "details": "BENCH_DETAILS.json",
+    }
+    line = json.dumps(final)
+    if len(line) > 1800:  # belt-and-braces: never outgrow the capture again
+        keep = (
+            "index_build", "wand_topk_avg", "wand_topk_repeat_avg",
+            "wand_topk_dist_avg", "serving_concurrent", "appends_total",
+            "delete_and_purge", "bm25_topk_1", "minhash_lsh_pairs",
+        )
+        final["queries"] = {k: timings[k] for k in keep if k in timings}
+        final["queries_truncated"] = True
+        line = json.dumps(final)
+    print(line)
     spark.stop()
 
 

@@ -50,16 +50,26 @@ def build_ann_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_m: int = 8,
+    pq_ksub: int = 16,
 ) -> dict:
     """One pass: assign every vector to its bucket (lsh) / cell (ivf) and
     write the table partitioned by that column. Returns the manifest.
     IVF cells use k-means-trained centroids (recorded in the manifest so
-    queries probe the SAME quantizer the data was partitioned with)."""
+    queries probe the SAME quantizer the data was partitioned with).
+
+    ``kind="ivfpq"`` composes both scale axes — the 100-TB ANN shape:
+    the table written is (id, code) PQ codes (``pq_m`` bytes per vector,
+    never the raw floats) partitioned by the trained IVF cell, so a query
+    prunes to nprobe cell directories AND scans only code bytes inside
+    them. Codebooks + centroids land in the manifest (a few KB)."""
     centroids = None
+    codebooks = None
     if kind == "lsh":
         assigned = lsh_assign(emb, n_planes, seed, id_col, vec_col)
         part_col = "bucket"
-    elif kind == "ivf":
+        table = emb.join(assigned, id_col)
+    elif kind in ("ivf", "ivfpq"):
         from dawnsearch_spark.operators.similarity import train_ivf_centroids
 
         centroids = train_ivf_centroids(
@@ -69,11 +79,25 @@ def build_ann_index(
             emb, n_cells, seed, id_col, vec_col, centroids
         ).withColumnRenamed("cell", "bucket")
         part_col = "bucket"
+        if kind == "ivfpq":
+            from dawnsearch_spark.operators.similarity import (
+                pq_encode,
+                train_pq_codebooks,
+            )
+
+            codebooks = train_pq_codebooks(
+                emb, m=pq_m, ksub=pq_ksub, seed=seed,
+                id_col=id_col, vec_col=vec_col,
+            )
+            table = pq_encode(emb, codebooks, id_col, vec_col).join(
+                assigned, id_col
+            )
+        else:
+            table = emb.join(assigned, id_col)
     else:
         raise ValueError(f"unknown ann index kind {kind!r}")
     (
-        emb.join(assigned, id_col)
-        .repartition(part_col)
+        table.repartition(part_col)
         .write.mode("overwrite")
         .partitionBy(part_col)
         .parquet(os.path.join(out_dir, "vectors"))
@@ -87,6 +111,7 @@ def build_ann_index(
         "vec_col": vec_col,
         "part_col": part_col,
         "centroids": None if centroids is None else centroids.tolist(),
+        "codebooks": None if codebooks is None else codebooks.tolist(),
     }
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -99,10 +124,15 @@ def ann_query(
     qvec: list[float],
     k: int = 10,
     nprobe: int = 4,
+    rerank_with: DataFrame | None = None,
+    shortlist: int = 50,
 ) -> DataFrame:
-    """Partition-pruned cosine top-k against a built ANN index: the scan
-    touches only the query's bucket directory (lsh) or its ``nprobe``
-    nearest cell directories (ivf)."""
+    """Partition-pruned top-k against a built ANN index: the scan touches
+    only the query's bucket directory (lsh) or its ``nprobe`` nearest cell
+    directories (ivf / ivfpq). For ``ivfpq`` the pruned scan is ADC over
+    PQ codes (no raw vectors in the index at all); pass ``rerank_with``
+    (the raw-embedding relation) to append the exact broadcast re-rank of
+    an ADC ``shortlist``."""
     with open(os.path.join(index_dir, _MANIFEST)) as f:
         m = json.load(f)
     vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
@@ -114,4 +144,17 @@ def ann_query(
         cents = np.asarray(m["centroids"], float) if m.get("centroids") else None
         targets = ivf_probe_cells(qvec, m["n_cells"], nprobe, m["seed"], cents)
     pruned = vectors.filter(F.col(m["part_col"]).isin(targets))
+    if m["kind"] == "ivfpq":
+        import numpy as np
+
+        from dawnsearch_spark.operators.similarity import pq_adc_topk
+
+        cb = np.asarray(m["codebooks"], float)
+        if rerank_with is None:
+            return pq_adc_topk(pruned, qvec, cb, k, m["id_col"])
+        short = pq_adc_topk(pruned, qvec, cb, shortlist, m["id_col"])
+        sel = rerank_with.join(
+            F.broadcast(short.select(m["id_col"])), m["id_col"], "left_semi"
+        )
+        return cosine_topk(sel, qvec, k, m["id_col"], m["vec_col"])
     return cosine_topk(pruned, qvec, k, m["id_col"], m["vec_col"])

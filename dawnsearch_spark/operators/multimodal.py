@@ -458,8 +458,20 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
                 fmt_tag, ch, rate, _br, balign, bits, off, dlen, fact_n = _wav_layout(p)
                 rates[i] = rate
                 if fmt_tag == 1 and bits == 16:
-                    cnt = dlen // (2 * ch)
-                    samples[i] = np.frombuffer(p, "<i2", count=cnt * ch, offset=off)
+                    if ch != 1:
+                        # uniform stats contract: every branch reports
+                        # per-clip scalar stats over MONO samples (a
+                        # multi-channel payload would otherwise report
+                        # frames*channels as n_samples and interleave
+                        # first/last); decode_wav returns (frames, ch)
+                        # for callers that want multi-channel PCM
+                        raise NotImplementedError(
+                            "decode_audio_stats requires mono payloads "
+                            f"(got {ch} channels); use decode_wav for "
+                            "multi-channel PCM frames"
+                        )
+                    cnt = dlen // 2
+                    samples[i] = np.frombuffer(p, "<i2", count=cnt, offset=off)
                 elif fmt_tag in (6, 7) and bits == 8 and ch == 1:
                     # G.711 is a stateless per-sample table map — one
                     # vectorized pass, no block structure needed

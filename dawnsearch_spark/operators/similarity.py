@@ -443,6 +443,56 @@ def pq_codebook_rows(spark, codebooks: np.ndarray) -> DataFrame:
     return spark.createDataFrame(rows, "j int, code int, d int, val double")
 
 
+def ivfpq_topk(
+    codes: DataFrame,
+    qvec: list[float],
+    codebooks: np.ndarray,
+    probe_cells: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF×PQ composed search — the actual 100-TB ANN recipe: ``codes``
+    carries (id, code, cell) where ``cell`` is the trained IVF coarse cell
+    (a write-time partition column via :func:`build_ann_index`'s ivfpq
+    kind), the query probes its ``probe_cells`` (from
+    :func:`ivf_probe_cells`), and ADC scans ONLY those cells' codes.
+    IVF alone (``ivf_topk``) prunes cells but stores raw vectors; PQ alone
+    (``pq_adc_topk``) compresses 12-48x but scans every code — composed,
+    a query touches nprobe/n_cells of the corpus at m bytes per vector.
+    Reference analog: the bucketed index experiment
+    (/root/reference/examples_old/search_bucket.rs:15-90) with the
+    i16/i24 requantized vectors (src/search/vector.rs:30-87) as the
+    in-bucket representation."""
+    pruned = codes.filter(F.col(cell_col).isin([int(c) for c in probe_cells]))
+    return pq_adc_topk(pruned, qvec, codebooks, k, id_col)
+
+
+def ivfpq_rerank_topk(
+    emb: DataFrame,
+    codes: DataFrame,
+    qvec: list[float],
+    codebooks: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF×PQ with the standard exact re-rank tail: probe nprobe cells,
+    ADC-shortlist their codes, then fetch ONLY the shortlist's raw vectors
+    (broadcast semi-join — J1 hydration shape) for an exact cosine re-rank.
+    Recall recovers to near-exact while the scan path still never touches
+    a raw vector outside the shortlist."""
+    probe = ivf_probe_cells(
+        qvec, n_cells=len(centroids), nprobe=nprobe, centroids=centroids
+    )
+    short = ivfpq_topk(codes, qvec, codebooks, probe, k=shortlist, id_col=id_col)
+    sel = emb.join(F.broadcast(short.select(id_col)), id_col, "left_semi")
+    return cosine_topk(sel, qvec, k, id_col, vec_col)
+
+
 def ivf_topk(
     emb: DataFrame,
     qvec: list[float],

@@ -145,6 +145,7 @@ class LightListCache:
     a stale cache could serve dropped rows)."""
 
     def __init__(self, max_postings: int = 4_000_000):
+        import threading
         from collections import OrderedDict
 
         self._d: "OrderedDict[str, list[tuple]]" = OrderedDict()
@@ -153,40 +154,49 @@ class LightListCache:
         self.max_postings = int(max_postings)
         self.hits = 0
         self.misses = 0
+        # one Engine serves many in-flight searches (the reference's
+        # ActiveSearch table, udp_service.rs:296-341); the LRU reorder in
+        # get() and the evict loop in put() are the only cross-search
+        # mutations — a lock keeps them safe and costs ~100ns against a
+        # cache hit that saves a fetch + varbyte decode
+        self._lock = threading.Lock()
 
     def get(self, term: str):
-        rows = self._d.get(term)
-        if rows is None:
-            self.misses += 1
-            return None
-        self._d.move_to_end(term)
-        self.hits += 1
-        return rows
+        with self._lock:
+            rows = self._d.get(term)
+            if rows is None:
+                self.misses += 1
+                return None
+            self._d.move_to_end(term)
+            self.hits += 1
+            return rows
 
     def drop_terms(self, terms) -> int:
         """Evict specific terms (incremental refresh: only terms that
         gained a light row in a NEW generation go stale — every other
         cached list still matches the on-disk rows). Returns evictions."""
         n = 0
-        for t in terms:
-            if t in self._d:
-                del self._d[t]
-                self._total -= self._postings.pop(t)
-                n += 1
+        with self._lock:
+            for t in terms:
+                if t in self._d:
+                    del self._d[t]
+                    self._total -= self._postings.pop(t)
+                    n += 1
         return n
 
     def put(self, term: str, rows: list[tuple], n_postings: int) -> None:
         if n_postings > self.max_postings:
             return  # never let one giant term flush the whole cache
-        if term in self._d:
-            self._total -= self._postings[term]
-        self._d[term] = rows
-        self._postings[term] = int(n_postings)
-        self._total += int(n_postings)
-        self._d.move_to_end(term)
-        while self._total > self.max_postings and self._d:
-            old_term, _ = self._d.popitem(last=False)
-            self._total -= self._postings.pop(old_term)
+        with self._lock:
+            if term in self._d:
+                self._total -= self._postings[term]
+            self._d[term] = rows
+            self._postings[term] = int(n_postings)
+            self._total += int(n_postings)
+            self._d.move_to_end(term)
+            while self._total > self.max_postings and self._d:
+                old_term, _ = self._d.popitem(last=False)
+                self._total -= self._postings.pop(old_term)
 
 
 def _term_bucket(term: str, num_buckets: int) -> int:

@@ -294,14 +294,19 @@ class Engine:
         query: str | dict[str, int],
         k: int | None = None,
         max_driver_heavy_rows: int = 256,
+        counters: dict | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), rank-identical to the exact oracle.
         Per-search observability counters (ranges pruned, blocks decoded,
         postings scored, driver postings decoded, path) land in
         ``self.last_search_counters`` — the reference returns the analogous
         servers_contacted/pages_searched with every result
-        (search_provider.rs:44-59)."""
-        self.last_search_counters = {}
+        (search_provider.rs:44-59). Concurrent callers (the reference
+        serves many in-flight searches — ActiveSearch,
+        udp_service.rs:296-341) pass their own ``counters`` dict so the
+        shared attribute is observability-only, never a data race on the
+        result path; the light-list LRU is internally locked."""
+        self.last_search_counters = counters if counters is not None else {}
         return search_index(
             self.spark,
             self.paths.root,

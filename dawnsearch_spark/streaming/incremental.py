@@ -81,14 +81,20 @@ def append_documents(
     base = int(agg["mx"]) + 1 if agg["mx"] is not None else 0
     if base != n_existing:
         # docID holes are legal ONLY when the manifest recorded them
-        # (purge_deletes); otherwise this still catches a corrupt index
+        # (purge_deletes); otherwise this still catches a corrupt index.
+        # id_space == base: interior holes only. id_space > base: the purge
+        # also removed the top of the ID range — every id >= base is
+        # physically gone from segments AND forward index, so minting new
+        # ids from base is safe (they can never collide with a live doc).
+        # Only id_space < base (rows beyond the recorded space) or a
+        # missing manifest is corruption worth refusing on.
         from dawnsearch_spark.manifest import read_manifest
 
         m = read_manifest(paths.root, "documents") or {}
-        if int(m.get("id_space", -1)) != base:
+        if int(m.get("id_space", -1)) < base:
             raise RuntimeError(
                 f"forward index not dense (count={n_existing}, max+1={base}) "
-                "and no purge recorded the holes; refusing to append"
+                "and the manifest id_space does not cover it; refusing to append"
             )
 
     # insert-dedup (J2): drop docs whose identity key already exists, then
@@ -136,14 +142,27 @@ def append_documents(
     return counters
 
 
+def tombstone_dir(index_root: str) -> str | None:
+    """The directory currently holding the tombstone set, or None. Falls
+    back to the two-rename swap's ``_old`` directory: a crash between
+    ``rename(d, d_old)`` and ``rename(tmp, d)`` in :func:`delete_documents`
+    leaves only ``_old`` on disk — readers must then see the PRE-delete
+    set (the in-flight delete is lost, never silently halved)."""
+    d = os.path.join(index_root, "tombstones")
+    if os.path.isdir(d):
+        return d
+    old = d + "_old"
+    return old if os.path.isdir(old) else None
+
+
 def tombstone_ids(index_root: str) -> "np.ndarray":
     """The current tombstoned docID set as a SORTED int64 array (empty if
     none). Read driver-side via pyarrow — zero Spark jobs, the serving
     path must not pay a job dispatch to learn what is deleted."""
     import numpy as np
 
-    d = os.path.join(index_root, "tombstones")
-    if not os.path.isdir(d):
+    d = tombstone_dir(index_root)
+    if d is None:
         return np.zeros(0, np.int64)
     import glob
 
@@ -192,20 +211,28 @@ def delete_documents(
         log("delete: nothing new to tombstone")
         return {"tombstones": int(len(old)), "added": 0}
     d = os.path.join(index_root, "tombstones")
-    tmp = d + "_tmp"
-    # tmp-write -> swap -> manifest: readers treat a missing dir as empty,
-    # so any crash leaves either the old set or the new set, never half.
+    tmp, old_dir = d + "_tmp", d + "_old"
+    # tmp-write -> two-rename swap -> manifest. The unrecoverable window of
+    # a naive rmtree(d)+rename(tmp,d) is the whole delete set (a crash in
+    # between leaves NO tombstones and deleted docs resurface); the
+    # two-rename keeps the old set at d_old until the new set is live, and
+    # tombstone_dir() falls back to d_old, so every crash point yields
+    # either the old set or the new set — never empty, never half.
     # Only the NEW batch is driver-materialized (bounded by the delete
     # call); the accumulated set merges distributed via the parquet union
     # so a long-lived tombstone set never round-trips through the driver.
     new_df = spark.createDataFrame([(int(x),) for x in new_ids], "doc_id long")
-    if os.path.isdir(d):
-        new_df = spark.read.parquet(d).unionByName(new_df)
+    src = tombstone_dir(index_root)
+    if src is not None:
+        new_df = spark.read.parquet(src).unionByName(new_df)
     new_df.dropDuplicates(["doc_id"]).coalesce(1).write.mode("overwrite").parquet(tmp)
     import shutil
 
-    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    if os.path.isdir(d):
+        os.rename(d, old_dir)
     os.rename(tmp, d)
+    shutil.rmtree(old_dir, ignore_errors=True)
     spark.catalog.refreshByPath(d)
     write_manifest(paths.root, "tombstones", {"count": int(len(merged))})
     log(f"delete: {len(merged) - len(old)} new tombstones ({len(merged)} total)")
@@ -280,7 +307,16 @@ def purge_deletes(
     # the manifest is invalidated first so a crash recovers by recount)
     docs_m = read_manifest(paths.root, "documents") or {}
     id_space = int(docs_m.get("id_space", docs_m.get("n_docs", 0)))
-    tomb_df = spark.createDataFrame([(int(x),) for x in tombs], "doc_id long")
+    # the tombstone set already lives on disk as parquet — feed the
+    # anti-join from there instead of round-tripping ids through a
+    # driver-side createDataFrame (the only driver-memory term the delete
+    # lifecycle had; at a 10^9-tombstone extreme the parquet relation
+    # scales where a Python list would not)
+    tomb_df = (
+        spark.read.parquet(tombstone_dir(index_root))
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
     live = spark.read.parquet(paths.documents).join(
         F.broadcast(tomb_df), "doc_id", "left_anti"
     )
@@ -316,8 +352,11 @@ def purge_deletes(
     build_index(spark, spark.read.parquet(paths.documents), index_root, cfg, log=log)
 
     # 5. tombstones cleared LAST — every earlier crash point leaves the
-    # filter active and results correct (just not yet compacted)
+    # filter active and results correct (just not yet compacted). The
+    # swap's _old fallback dir is cleared too, else a crashed pre-purge
+    # delete could resurrect an already-purged tombstone set.
     shutil.rmtree(os.path.join(index_root, "tombstones"), ignore_errors=True)
+    shutil.rmtree(os.path.join(index_root, "tombstones_old"), ignore_errors=True)
     p = os.path.join(paths.root, MANIFEST_DIR, "tombstones.json")
     if os.path.exists(p):
         os.remove(p)

@@ -174,3 +174,19 @@ def test_decode_audio_stats_batched_matches_per_payload(spark):
     r = decode_audio_stats(pcm_media).collect()[0]
     assert r["n_samples"] == 300 and r["sample_rate"] == 8000
     assert r["first_sample"] == int(_triangle(300, 3)[0])
+
+
+def test_decode_audio_stats_rejects_multichannel_pcm(spark):
+    """Uniform mono contract: every decode_audio_stats branch reports
+    per-clip scalar stats over MONO samples. A stereo PCM payload would
+    otherwise report frames*channels as n_samples with interleaved
+    first/last — it must raise, pointing at decode_wav for frames."""
+    from dawnsearch_spark.operators.multimodal import decode_audio_stats, encode_wav
+
+    stereo = np.stack([_triangle(64, 3), _triangle(64, 5)], axis=1)
+    media = spark.createDataFrame(
+        [(0, bytearray(encode_wav(stereo, 8000)), "audio/wav")],
+        "doc_id long, media binary, media_type string",
+    )
+    with pytest.raises(Exception, match="mono"):
+        decode_audio_stats(media).collect()

@@ -292,3 +292,86 @@ def test_purge_on_gc_runs_index(spark, cfg, tmp_path):
         for r in document_frequencies(term_frequencies(surv)).collect()
     }
     assert td == want
+
+
+def test_append_after_purge_with_top_hole(spark, cfg, tmp_path):
+    """Purge that removes the MAX doc_id (plus an interior one) leaves
+    base = max_live + 1 < id_space. Those top ids are physically gone
+    from segments and forward index, so minting new ids from base is
+    safe and the append must be accepted — only base > id_space (rows
+    beyond the recorded space) is corruption."""
+    d = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 120, seed=9), d, cfg, n_groups=1)
+    # victims include the top TWO ids and an interior id — after purge the
+    # live max is 117, so base=118 while id_space stays 120 (a top hole)
+    delete_documents(spark, d, cfg, doc_ids=[40, 118, 119])
+    purge_deletes(spark, d, cfg)
+    m = read_manifest(d, "documents")
+    assert m["id_space"] == 120 and m["n_docs"] == 117
+
+    out = append_documents(spark, d, _corpus(spark, 30, seed=10, start=500), cfg)
+    assert out["appended"] == 30
+    docs = spark.read.parquet(IndexPaths(d).documents)
+    from pyspark.sql import functions as F
+
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("nd"),
+        F.max("doc_id").alias("mx"),
+        F.min("doc_id").alias("mn"),
+    ).collect()[0]
+    # new ids minted from 118 (re-using the physically-purged top ids is
+    # legal), no collisions, interior hole at 40 untouched
+    assert agg["n"] == agg["nd"] == 117 + 30
+    assert agg["mx"] == 147 and agg["mn"] == 0
+    assert docs.filter(F.col("doc_id") == 40).count() == 0
+    e = Engine(spark, d, cfg)
+    assert e.stats_.n_docs == 147 and e.search("parse http request")
+
+    # genuine corruption is still refused: rows BEYOND the recorded space
+    extra = _corpus(spark, 1, seed=77, start=900).withColumn(
+        "doc_id", F.lit(10_000).cast("long")
+    )
+    extra.select(*docs.columns).write.mode("append").parquet(
+        IndexPaths(d).documents
+    )
+    spark.catalog.refreshByPath(IndexPaths(d).documents)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="refusing to append"):
+        append_documents(spark, d, _corpus(spark, 5, seed=78, start=950), cfg)
+
+
+def test_delete_crash_between_renames_keeps_old_set(spark, cfg, tmp_path):
+    """The two-rename tombstone swap: a crash between rename(d, d_old)
+    and rename(tmp, d) leaves only d_old on disk — readers must fall
+    back to it (the PRE-delete set; deleted docs never resurface), and
+    the next delete_documents call must merge from it and repair d."""
+    import os
+    import shutil
+
+    from dawnsearch_spark.streaming.incremental import tombstone_dir
+
+    d = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark, 100, seed=3), d, cfg, n_groups=1)
+    delete_documents(spark, d, cfg, doc_ids=[1, 2, 3])
+    tdir = os.path.join(d, "tombstones")
+    assert tombstone_dir(d) == tdir
+
+    # simulate the crash window of a second delete: old set moved aside,
+    # new set never renamed in
+    os.rename(tdir, tdir + "_old")
+    assert tombstone_dir(d) == tdir + "_old"
+    assert list(tombstone_ids(d)) == [1, 2, 3]
+    # serving in the crash window still filters the old set
+    e = Engine(spark, d, cfg)
+    assert all(doc not in (1, 2, 3) for doc, _ in e.search("parse http request", k=30))
+
+    # recovery: the next delete merges from the fallback dir and restores d
+    out = delete_documents(spark, d, cfg, doc_ids=[7])
+    assert out["tombstones"] == 4 and out["added"] == 1
+    assert os.path.isdir(tdir) and not os.path.isdir(tdir + "_old")
+    assert list(tombstone_ids(d)) == [1, 2, 3, 7]
+
+    # a stale _tmp from the crashed attempt is harmless (overwritten)
+    shutil.rmtree(tdir + "_tmp", ignore_errors=True)
