@@ -610,6 +610,45 @@ def q_pq_topk(spark, sf_dir):
     return pq_adc_topk(codes, qvec, cb, k=10)
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF×PQ composed ANN under the driver gate — the 100-TB recipe:
+    codes partitioned by trained IVF cell, the query probes nprobe cells,
+    and ADC scans ONLY those cells' codes (compression AND pruning in one
+    path; ``pq_topk`` alone scans all codes, ``ivf_topk`` alone stores
+    raw vectors). Cell assignment, probe set, codes, and codebooks are
+    all exported, so the DuckDB twin recomputes the probe-restricted
+    candidate set AND every asymmetric distance from first principles —
+    the composition is checked exactly, not via recall. The materialized
+    partition-pruned form of the same path is ``build_ann_index(kind=
+    'ivfpq')`` + ``ann_query`` (pytest asserts only probed-cell files are
+    read). Reference analog: the bucketed index experiment
+    (/root/reference/examples_old/search_bucket.rs:15-90) with i16/i24
+    requantized in-bucket vectors (src/search/vector.rs:30-87)."""
+    from dawnsearch_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probe_cells,
+        ivfpq_topk,
+        pq_code_rows,
+        pq_codebook_rows,
+        pq_encode,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    data = emb.filter(F.col("vec_id") != 0)
+    cents = train_ivf_centroids(data, n_cells=16)
+    cb = train_pq_codebooks(data, m=8, ksub=16)
+    assigned = _export(ivf_assign(data, n_cells=16, centroids=cents), "ivfpq_assign")
+    probe = ivf_probe_cells(qvec, n_cells=16, nprobe=4, centroids=cents)
+    _export(spark.createDataFrame([(c,) for c in probe], "cell int"), "ivfpq_probe")
+    codes = pq_encode(data, cb).join(assigned, "vec_id")
+    _export(pq_code_rows(codes, m=8), "ivfpq_codes")
+    _export(pq_codebook_rows(spark, cb), "ivfpq_codebook")
+    return ivfpq_topk(codes, qvec, cb, probe, k=10)
+
+
 def q_media_decode(spark, sf_dir):
     """Real image decode (pure-NumPy 24-bit BMP codec): synthesize one BMP
     per doc with a closed-form pixel pattern, decode it back, and emit
@@ -1199,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "media_features": q_media_features,
         "media_decode": q_media_decode,
         "media_decode_png": q_media_decode_png,
@@ -1422,6 +1462,45 @@ def oracle_sql() -> dict[str, str]:
             adc AS (
               SELECT c.vec_id, sum(l.dist) AS s
               FROM read_parquet('{_EXPORT_ROOT}/pq_codes/*.parquet') c
+              JOIN lut l ON c.j = l.j AND c.code = l.code
+              GROUP BY c.vec_id
+            )
+            SELECT vec_id, round(s, 6) AS adc FROM adc
+            ORDER BY s, vec_id LIMIT 10
+        """,
+        # IVF×PQ: same first-principles ADC recomputation as pq_topk, but
+        # the candidate set is restricted to vectors whose trained IVF
+        # cell is in the exported probe set — DuckDB re-derives BOTH the
+        # pruning and the compressed-distance math
+        "ivfpq_topk": f"""
+            WITH qn AS (
+              SELECT list_transform(embedding,
+                       x -> x / sqrt(list_aggregate(
+                              list_transform(embedding, y -> y * y), 'sum')))
+                     AS v
+              FROM embeddings WHERE vec_id = 0
+            ),
+            q AS (
+              SELECT d.d AS d, qn.v[d.d + 1] AS val
+              FROM qn, (SELECT unnest(range(0, 64)) AS d) d
+            ),
+            lut AS (
+              SELECT cb.j, cb.code,
+                     sum((cb.val - q.val) * (cb.val - q.val)) AS dist
+              FROM read_parquet('{_EXPORT_ROOT}/ivfpq_codebook/*.parquet') cb
+              JOIN q ON q.d = cb.j * 8 + cb.d
+              GROUP BY cb.j, cb.code
+            ),
+            probed AS (
+              SELECT vec_id
+              FROM read_parquet('{_EXPORT_ROOT}/ivfpq_assign/*.parquet')
+              WHERE cell IN (SELECT cell
+                             FROM read_parquet('{_EXPORT_ROOT}/ivfpq_probe/*.parquet'))
+            ),
+            adc AS (
+              SELECT c.vec_id, sum(l.dist) AS s
+              FROM read_parquet('{_EXPORT_ROOT}/ivfpq_codes/*.parquet') c
+              JOIN probed p ON p.vec_id = c.vec_id
               JOIN lut l ON c.j = l.j AND c.code = l.code
               GROUP BY c.vec_id
             )

@@ -96,3 +96,63 @@ def test_rerank_recovers_recall(spark, emb):
         hits += len(set(exact) & set(rer))
     # measured 30/30 on this fixture; assert with margin
     assert hits >= 24, f"rerank recall collapsed: {hits}/30"
+
+
+def test_ivfpq_equals_probe_restricted_adc(spark, emb):
+    """The composition adds no new math: ivfpq_topk over (codes+cell)
+    must equal pq_adc_topk restricted to the probed cells' vectors."""
+    from dawnsearch_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probe_cells,
+        ivfpq_topk,
+        train_ivf_centroids,
+    )
+
+    df, vecs = emb
+    cents = train_ivf_centroids(df, n_cells=8)
+    cb = train_pq_codebooks(df, m=4, ksub=16)
+    assigned = ivf_assign(df, n_cells=8, centroids=cents)
+    codes = pq_encode(df, cb).join(assigned, "vec_id")
+    q = [float(x) for x in vecs[42]]
+    probe = ivf_probe_cells(q, n_cells=8, nprobe=3, centroids=cents)
+    got = ivfpq_topk(codes, q, cb, probe, k=10).collect()
+
+    probed_ids = {
+        r["vec_id"]
+        for r in assigned.filter(assigned.cell.isin(probe)).collect()
+    }
+    want = [
+        r
+        for r in pq_adc_topk(pq_encode(df, cb), q, cb, k=400).collect()
+        if r["vec_id"] in probed_ids
+    ][:10]
+    assert [(r["vec_id"], r["adc"]) for r in got] == [
+        (r["vec_id"], r["adc"]) for r in want
+    ]
+
+
+def test_ivfpq_rerank_recall(spark, emb):
+    """Probing half the cells + ADC shortlist + exact re-rank recovers
+    near-exact recall on the clustered fixture."""
+    from dawnsearch_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_rerank_topk,
+        train_ivf_centroids,
+    )
+
+    df, vecs = emb
+    cents = train_ivf_centroids(df, n_cells=8)
+    cb = train_pq_codebooks(df, m=4, ksub=16)
+    codes = pq_encode(df, cb).join(ivf_assign(df, n_cells=8, centroids=cents), "vec_id")
+    hits = 0
+    for qid in (3, 77, 123):
+        q = [float(x) for x in vecs[qid]]
+        exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+        got = [
+            r["vec_id"]
+            for r in ivfpq_rerank_topk(
+                df, codes, q, cb, cents, k=10, nprobe=4, shortlist=50
+            ).collect()
+        ]
+        hits += len(set(exact) & set(got))
+    assert hits >= 24, f"ivfpq rerank recall collapsed: {hits}/30"
