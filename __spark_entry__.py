@@ -1135,6 +1135,143 @@ def q_wand_delete_purge(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+UPSERT_QUERY = "window shuffle refreshed"
+UPSERT_MARKER = "refreshed revision notes"
+
+
+def q_wand_upsert(spark, sf_dir):
+    """Index-lifecycle UPSERT under the driver gate (reference analog:
+    URL-dedup-before-insert, /root/reference/src/search/search_provider.rs:253-263,
+    generalized from drop-duplicate to atomic replace-by-key): build a
+    real segment index over an engine-shaped view of the documents table
+    (repo='r0', path=zero-padded doc_id, commit='c0' — internal docIDs
+    equal the table's dense doc_ids), then re-ingest every doc_id ≡ 4
+    (mod 9) at a NEW commit with a marker suffix via ``upsert_documents``
+    (staging-masked append + one tombstone-swap cutover), and serve
+    top-10 WAND for a query that matches the marker. Old versions are
+    tombstoned (Lucene deleted-docs staleness: they still count in
+    N/avgdl/df until purge), new versions carry docIDs N + rank.
+
+    Oracle: exact BM25 over the PATCHED corpus (replaced docs carry the
+    marker text) with stats over the FULL old+new row set — old versions
+    excluded from scoring but included in N/avgdl/df, exactly what the
+    masked index serves — ordered by the engine's internal-id tie-break
+    (survivors: doc_id; new versions: N + rank). Output ids are the
+    ORIGINAL doc_ids (recovered from the path column), so the hash match
+    covers identity AND scores."""
+    import tempfile
+
+    from dawnsearch_spark.index_build import build_index
+    from dawnsearch_spark.manifest import read_manifest
+    from dawnsearch_spark.plans.query import Engine
+    from dawnsearch_spark.streaming.incremental import upsert_documents
+
+    _wand_index_root(spark, sf_dir)  # ensures _IDX_TAGS[sf_dir] is set
+    root = os.path.join(
+        tempfile.gettempdir(), f"dawnsearch_driver_idx_{_IDX_TAGS[sf_dir]}_ups"
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lit("r0").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
+        F.lit("c0").alias("commit"),
+        "lang",
+        "content",
+    )
+    build_index(spark, docs, root, _wand_cfg(), n_groups=2)
+    if not (read_manifest(root, "upsert") or {}):  # idempotent across calls
+        batch = docs.filter(F.col("doc_id") % 9 == 4).select(
+            "repo", "path", F.lit("c1").alias("commit"), "lang",
+            F.concat(F.col("content"), F.lit(" " + UPSERT_MARKER)).alias(
+                "content"
+            ),
+        )
+        upsert_documents(
+            spark, root, batch, _wand_cfg(), match_cols=("repo", "path")
+        )
+    hits = Engine(spark, root, _wand_cfg()).search(UPSERT_QUERY)
+    topk = spark.createDataFrame(
+        [(i, int(d), float(s)) for i, (d, s) in enumerate(hits)] or [],
+        "rank long, doc_id long, score double",
+    )
+    fwd = spark.read.parquet(os.path.join(root, "documents")).select(
+        "doc_id", F.col("path").cast("long").alias("orig_id")
+    )
+    return (
+        fwd.join(F.broadcast(topk), "doc_id")
+        .orderBy("rank")
+        .select(F.col("orig_id").alias("doc_id"), F.round("score", 6).alias("score"))
+    )
+
+
+def _upsert_sql(k: int = 10) -> str:
+    """Exact-BM25 twin of the post-upsert masked index: scoring corpus =
+    survivors + marker-patched new versions; stats corpus additionally
+    keeps the masked old versions (N doubles-counted exactly as the
+    staleness contract says); tie-break = the engine's internal id
+    (new versions sort at N + rank(doc_id))."""
+    terms_in = ", ".join(f"'{t}'" for t in UPSERT_QUERY.split())
+    toks = _tok_sql("text")
+    return f"""
+WITH vic AS (
+  SELECT doc_id,
+         (SELECT count(*) FROM documents) - 1
+           + row_number() OVER (ORDER BY doc_id) AS eid
+  FROM documents WHERE doc_id % 9 = 4
+),
+-- visible corpus: survivors as-is, victims replaced by marker-patched v2
+vis AS (
+  SELECT d.doc_id,
+         CASE WHEN v.doc_id IS NOT NULL
+              THEN d.text || ' {UPSERT_MARKER}' ELSE d.text END AS text,
+         coalesce(v.eid, d.doc_id) AS eid
+  FROM documents d LEFT JOIN vic v USING (doc_id)
+),
+-- stats corpus: visible rows PLUS the masked old versions
+stat_dl AS (
+  SELECT len({toks})::DOUBLE AS dl FROM vis AS documents
+  UNION ALL
+  SELECT len({toks})::DOUBLE AS dl
+  FROM (SELECT text FROM documents WHERE doc_id % 9 = 4) AS documents
+),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM stat_dl),
+dl AS (SELECT doc_id, len({toks})::DOUBLE AS dl FROM vis AS documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM vis AS documents)
+  WHERE term IN ({terms_in})
+  GROUP BY doc_id, term
+),
+-- df over the full row set: visible + masked old versions (stale by
+-- contract — tombstones mask serving, not the dictionary)
+tf_old AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS term
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id % 9 = 4)
+             AS documents)
+  WHERE term IN ({terms_in})
+  GROUP BY doc_id, term
+),
+dfq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM (
+    SELECT term, doc_id FROM tf
+    UNION ALL SELECT term, doc_id + 1000000000 FROM tf_old
+  ) GROUP BY term
+),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+              * tf.tf * ({CFG.k1} + 1.0)
+              / (tf.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.dl / st.avgdl)) ) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT sc.doc_id, round(sc.s, 6) AS score
+FROM sc JOIN vis USING (doc_id)
+ORDER BY sc.s DESC, vis.eid LIMIT {k}
+"""
+
+
 def q_more_like(spark, sf_dir):
     """E2 lifecycle under the driver gate (reference: MoreLikeSearch —
     stored page -> its embedding -> re-enter search,
@@ -1205,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_topk_2": q_wand_topk_2,
         "wand_topk_dist": q_wand_topk_dist,
         "wand_delete_purge": q_wand_delete_purge,
+        "wand_upsert": q_wand_upsert,
         "stream_window_counts": q_stream_window_counts,
         "more_like": q_more_like,
         "filter_project": q_filter_project,
@@ -1399,6 +1537,9 @@ def oracle_sql() -> dict[str, str]:
         "wand_delete_purge": _bm25_sql(
             BM25_QUERY_2.split(), where="doc_id % 7 <> 3"
         ),
+        # post-upsert serving: replaced docs score with their NEW content,
+        # stats keep the masked old versions (deleted-docs staleness)
+        "wand_upsert": _upsert_sql(),
         "more_like": _more_like_sql(),
         "media_features": _media_sql(),
         # decoded-image statistics recomputed from the synthesis formula:

@@ -334,6 +334,19 @@ class Engine:
         self._tombstones = self._load_tombstones()
         return out
 
+    def upsert(self, batch: DataFrame, match_cols=None, n_groups: int = 1) -> dict:
+        """Insert-or-replace by key in one atomic step (staging-masked
+        append + one tombstone-set cutover swap), then re-sync. Replaced
+        versions stay tombstoned until :meth:`purge`."""
+        from dawnsearch_spark.streaming.incremental import upsert_documents
+
+        out = upsert_documents(
+            self.spark, self.paths.root, batch, self.cfg,
+            match_cols=match_cols, n_groups=n_groups,
+        )
+        self.refresh()
+        return out
+
     def purge(self) -> dict:
         """Physically remove tombstoned docs (one purged merge + forward
         index rewrite + dictionary/stats rebuild), then re-sync. After

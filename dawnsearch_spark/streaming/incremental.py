@@ -57,6 +57,7 @@ def append_documents(
     cfg: EngineConfig,
     n_groups: int = 1,
     log=lambda m: None,
+    clear_stale_masks: bool = True,
 ) -> dict:
     """Append new documents and bring the index fully up to date.
 
@@ -96,6 +97,19 @@ def append_documents(
                 f"forward index not dense (count={n_existing}, max+1={base}) "
                 "and the manifest id_space does not cover it; refusing to append"
             )
+
+    if clear_stale_masks:
+        # a crashed upsert_documents can leave staging masks — tombstones
+        # on ids >= base that no live doc carries. Left in place they
+        # would silently hide the docs THIS append is about to mint; no
+        # legitimate tombstone can point past the live max, so clearing
+        # them is always safe. (upsert_documents passes False: its own
+        # staging masks on the incoming range are intentional.)
+        stale = tombstone_ids(index_root)
+        stale = stale[stale >= base]
+        if len(stale):
+            _swap_tombstone_set(spark, index_root, remove_ids=stale)
+            log(f"append: cleared {len(stale)} stale staging masks >= {base}")
 
     # insert-dedup (J2): drop docs whose identity key already exists, then
     # dedup identity keys WITHIN the batch exactly like the first build
@@ -210,33 +224,202 @@ def delete_documents(
     if len(merged) == len(old):
         log("delete: nothing new to tombstone")
         return {"tombstones": int(len(old)), "added": 0}
-    d = os.path.join(index_root, "tombstones")
-    tmp, old_dir = d + "_tmp", d + "_old"
-    # tmp-write -> two-rename swap -> manifest. The unrecoverable window of
-    # a naive rmtree(d)+rename(tmp,d) is the whole delete set (a crash in
-    # between leaves NO tombstones and deleted docs resurface); the
-    # two-rename keeps the old set at d_old until the new set is live, and
-    # tombstone_dir() falls back to d_old, so every crash point yields
-    # either the old set or the new set — never empty, never half.
-    # Only the NEW batch is driver-materialized (bounded by the delete
-    # call); the accumulated set merges distributed via the parquet union
-    # so a long-lived tombstone set never round-trips through the driver.
-    new_df = spark.createDataFrame([(int(x),) for x in new_ids], "doc_id long")
-    src = tombstone_dir(index_root)
-    if src is not None:
-        new_df = spark.read.parquet(src).unionByName(new_df)
-    new_df.dropDuplicates(["doc_id"]).coalesce(1).write.mode("overwrite").parquet(tmp)
+    _swap_tombstone_set(spark, index_root, add_ids=new_ids, expected=len(merged))
+    log(f"delete: {len(merged) - len(old)} new tombstones ({len(merged)} total)")
+    return {"tombstones": int(len(merged)), "added": int(len(merged) - len(old))}
+
+
+def _swap_tombstone_set(
+    spark: SparkSession,
+    index_root: str,
+    add_ids=(),
+    remove_ids=(),
+    expected: int | None = None,
+) -> int:
+    """Atomically replace the tombstone set with (current ∪ add − remove).
+
+    tmp-write -> two-rename swap -> manifest. The unrecoverable window of
+    a naive rmtree(d)+rename(tmp,d) is the whole delete set (a crash in
+    between leaves NO tombstones and deleted docs resurface); the
+    two-rename keeps the old set at d_old until the new set is live, and
+    :func:`tombstone_dir` falls back to d_old, so every crash point yields
+    either the old set or the new set — never empty, never half. Only the
+    add/remove batches are driver-materialized (bounded by the caller);
+    the accumulated set merges distributed via the parquet union so a
+    long-lived tombstone set never round-trips through the driver.
+    Returns the new set's size."""
     import shutil
 
+    paths = IndexPaths(index_root)
+    d = os.path.join(index_root, "tombstones")
+    tmp, old_dir = d + "_tmp", d + "_old"
+    out = spark.createDataFrame(
+        [(int(x),) for x in add_ids], "doc_id long"
+    )
+    src = tombstone_dir(index_root)
+    if src is not None:
+        out = spark.read.parquet(src).select("doc_id").unionByName(out)
+    out = out.dropDuplicates(["doc_id"])
+    rm = list(remove_ids)
+    if rm:
+        out = out.join(
+            F.broadcast(
+                spark.createDataFrame([(int(x),) for x in rm], "doc_id long")
+            ),
+            "doc_id",
+            "left_anti",
+        )
+    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    n = int(
+        spark.read.parquet(tmp).count() if expected is None else expected
+    )
     shutil.rmtree(old_dir, ignore_errors=True)
     if os.path.isdir(d):
         os.rename(d, old_dir)
     os.rename(tmp, d)
     shutil.rmtree(old_dir, ignore_errors=True)
     spark.catalog.refreshByPath(d)
-    write_manifest(paths.root, "tombstones", {"count": int(len(merged))})
-    log(f"delete: {len(merged) - len(old)} new tombstones ({len(merged)} total)")
-    return {"tombstones": int(len(merged)), "added": int(len(merged) - len(old))}
+    write_manifest(paths.root, "tombstones", {"count": n})
+    return n
+
+
+def upsert_documents(
+    spark: SparkSession,
+    index_root: str,
+    batch: DataFrame,
+    cfg: EngineConfig,
+    match_cols=None,
+    n_groups: int = 1,
+    log=lambda m: None,
+    _crash_after: str | None = None,
+) -> dict:
+    """Replace-by-key in one call: every existing document whose
+    ``match_cols`` key appears in ``batch`` is atomically replaced by the
+    batch's version. The pipeline-curation primitive "re-ingest this repo
+    at a new commit" (reference analog: URL-dedup-before-insert,
+    /root/reference/src/search/search_provider.rs:253-263, generalized
+    from drop-duplicate to replace): ``match_cols`` defaults to
+    ``cfg.id_cols`` minus ``commit`` — same (repo, path), any commit.
+
+    Atomic cutover, no neither/both window: the batch's new rows are
+    appended UNDER STAGING MASKS (tombstones pre-placed on the incoming
+    docID range), so searches keep serving the OLD versions throughout the
+    append; the visible switch is ONE two-rename tombstone-set swap that
+    simultaneously unmasks the new rows and tombstones the old ones.
+    Crash anywhere before that swap → the old versions serve (recovery:
+    re-run the upsert, or any plain append clears the stale masks); crash
+    after → fully upserted. ``purge_deletes`` later reclaims the replaced
+    rows (until then stats keep Lucene deleted-docs staleness, exactly
+    like ``delete_documents``).
+
+    ``_crash_after`` ("stage" | "append") is a test hook that raises at
+    the named crash point to prove the recovery contract.
+    """
+    import numpy as np
+
+    match_cols = tuple(
+        match_cols
+        if match_cols is not None
+        else [c for c in cfg.id_cols if c != "commit"] or list(cfg.id_cols)
+    )
+    if not set(match_cols) <= set(cfg.id_cols):
+        raise ValueError(
+            f"match_cols {match_cols} must be a subset of id_cols {cfg.id_cols}"
+        )
+    paths = IndexPaths(index_root)
+    key_full = list(cfg.id_cols)
+    existing = spark.read.parquet(paths.documents)
+    agg = existing.agg(F.max("doc_id").alias("mx")).collect()[0]
+    base = int(agg["mx"]) + 1 if agg["mx"] is not None else 0
+
+    # 0. recovery: stale staging masks from a crashed attempt mask ids
+    # that do not exist yet — clear before re-deriving the plan
+    stale = tombstone_ids(index_root)
+    stale = stale[stale >= base]
+    if len(stale):
+        _swap_tombstone_set(spark, index_root, remove_ids=stale)
+        log(f"upsert: cleared {len(stale)} stale staging masks")
+
+    bkeys = F.broadcast(batch.select(*key_full).dropDuplicates())
+    # old versions to replace: match_cols key appears in the batch, but
+    # the FULL key does not (full-key matches ARE the new versions —
+    # possibly already appended by a crashed prior attempt)
+    victims = np.asarray(
+        sorted(
+            r["doc_id"]
+            for r in existing.join(
+                F.broadcast(batch.select(*match_cols).dropDuplicates()),
+                on=list(match_cols),
+            )
+            .join(bkeys, on=key_full, how="left_anti")
+            .select("doc_id")
+            .collect()
+        ),
+        np.int64,
+    )
+    already_new = np.asarray(
+        sorted(
+            r["doc_id"]
+            for r in existing.join(bkeys, on=key_full)
+            .select("doc_id")
+            .collect()
+        ),
+        np.int64,
+    )
+    n_new = (
+        batch.select(*key_full)
+        .dropDuplicates()
+        .join(existing.select(*key_full), on=key_full, how="left_anti")
+        .count()
+    )
+
+    # 1. staging masks on the incoming range: the appended rows stay
+    # invisible until the cutover swap
+    new_range = np.arange(base, base + n_new, dtype=np.int64)
+    if n_new:
+        _swap_tombstone_set(spark, index_root, add_ids=new_range)
+    if _crash_after == "stage":
+        raise RuntimeError("simulated crash after staging masks")
+
+    # 2. append under the masks (clear_stale_masks=False: ours are live)
+    appended = 0
+    if n_new:
+        out = append_documents(
+            spark, index_root, batch, cfg, n_groups=n_groups, log=log,
+            clear_stale_masks=False,
+        )
+        appended = int(out.get("appended", 0))
+        if appended != n_new:
+            raise RuntimeError(
+                f"upsert append drift: planned {n_new}, appended {appended}"
+            )
+    if _crash_after == "append":
+        raise RuntimeError("simulated crash after append, before cutover")
+
+    # 3. atomic cutover: one swap unmasks the new rows AND tombstones the
+    # replaced versions — the only instant the visible corpus changes
+    n_tombs = _swap_tombstone_set(
+        spark,
+        index_root,
+        add_ids=victims,
+        remove_ids=np.concatenate([new_range, already_new]),
+    )
+    write_manifest(
+        paths.root,
+        "upsert",
+        {"replaced": int(len(victims)), "appended": appended,
+         "unmasked": int(len(already_new)), "match_cols": list(match_cols)},
+    )
+    log(
+        f"upsert: replaced {len(victims)} docs with {appended} new + "
+        f"{len(already_new)} recovered rows ({n_tombs} tombstones pending purge)"
+    )
+    return {
+        "replaced": int(len(victims)),
+        "appended": appended,
+        "recovered": int(len(already_new)),
+        "tombstones": n_tombs,
+    }
 
 
 def purge_deletes(
