@@ -863,6 +863,91 @@ def q_media_decode_g711(spark, sf_dir):
     )
 
 
+def q_media_decode_flac(spark, sf_dir):
+    """Lossless FLAC audio under the driver gate (functions/flac.py —
+    fixed-predictor subset with Rice-coded residuals, pure NumPy, CRC-8 /
+    CRC-16 / STREAMINFO-MD5 all enforced; RFC 9639). Each doc's
+    closed-form int16 triangle wave s_j = 8*(|((j*k + id) % 4096) - 2048|
+    - 1024), k = id%5+2, n = 1600 + id%97, is FLAC-encoded (block 512 ->
+    multiple frames + a partial tail frame per payload) and decoded back
+    through BOTH the direct codec and the batched ``decode_audio_stats``
+    dispatch. FLAC is lossless over integers, so unlike ADPCM/JPEG there
+    is no tolerance anywhere: the oracle recomputes every decoded sample
+    exactly from the synthesis formula and the row is hash-exact on
+    whole-signal aggregates."""
+    import numpy as np
+    import pandas as pd
+
+    from dawnsearch_spark.functions.flac import decode_flac, encode_flac
+    from dawnsearch_spark.operators.multimodal import decode_audio_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+
+    def synth(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy("int64")
+            payloads = []
+            for did in ids:
+                did = int(did)
+                k = did % 5 + 2
+                n = 1600 + did % 97
+                j = np.arange(n, dtype=np.int64)
+                s = (8 * (np.abs((j * k + did) % 4096 - 2048) - 1024)).astype(
+                    np.int16
+                )
+                payloads.append(encode_flac(s, 16000, block_size=512))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media": payloads, "media_type": "audio/flac"}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, "doc_id long, media binary, media_type string"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy("int64")
+            rows = {"doc_id": ids, "n_samples": [], "sample_rate": [],
+                    "sum_dec": [], "min_dec": [], "max_dec": []}
+            for i in range(len(pdf)):
+                dec, rate = decode_flac(bytes(pdf["media"].iloc[i]))
+                dec = dec.reshape(-1).astype(np.int64)
+                rows["n_samples"].append(len(dec))
+                rows["sample_rate"].append(rate)
+                rows["sum_dec"].append(int(dec.sum()))
+                rows["min_dec"].append(int(dec.min()))
+                rows["max_dec"].append(int(dec.max()))
+            yield pd.DataFrame(rows)
+
+    out = media.mapInPandas(
+        gen,
+        "doc_id long, n_samples long, sample_rate int, "
+        "sum_dec long, min_dec int, max_dec int",
+    )
+    # the batched dispatch layer must agree exactly (lossless: first and
+    # last sample are formula values, no tolerance)
+    stats = decode_audio_stats(media).select(
+        "doc_id",
+        F.col("n_samples").alias("n_b"),
+        F.col("first_sample").alias("first_b"),
+        F.col("last_sample").alias("last_b"),
+    )
+    return (
+        out.join(stats, "doc_id")
+        .withColumn(
+            "dispatch_ok",
+            ((F.col("n_b") == F.col("n_samples"))).cast("int"),
+        )
+        .withColumn("first_sample", F.col("first_b"))
+        .withColumn("last_sample", F.col("last_b"))
+        .drop("n_b", "first_b", "last_b")
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary media column -> vectorized per-byte
     features, emitted as scalar columns (driver-hashable) with a DuckDB
@@ -1383,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_jpeg": q_media_decode_jpeg,
         "media_decode_audio": q_media_decode_audio,
         "media_decode_g711": q_media_decode_g711,
+        "media_decode_flac": q_media_decode_flac,
         "pq_topk": q_pq_topk,
     }
 
@@ -1933,5 +2019,25 @@ def oracle_sql() -> dict[str, str]:
                sum(dv)::BIGINT AS sum_dec, min(dv)::INT AS min_dec,
                max(dv)::INT AS max_dec
         FROM dec GROUP BY doc_id
+    """
+    # FLAC is lossless: every decoded sample IS the synthesis formula, so
+    # the oracle aggregates the formula directly — strongest possible
+    # contract (no companding map, no tolerance, no stored-verbatim
+    # subset: the whole signal round-trips bit-exactly)
+    out["media_decode_flac"] = """
+        WITH s AS (
+          SELECT doc_id, unnest(range(0, 1600 + doc_id % 97)) AS j
+          FROM documents WHERE doc_id < 50
+        ), v AS (
+          SELECT doc_id, j,
+                 8 * (abs((j * (doc_id % 5 + 2) + doc_id) % 4096 - 2048) - 1024) AS pcm
+          FROM s
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_samples, 16000 AS sample_rate,
+               sum(pcm)::BIGINT AS sum_dec, min(pcm)::INT AS min_dec,
+               max(pcm)::INT AS max_dec, 1 AS dispatch_ok,
+               (8 * (abs((doc_id % 4096) - 2048) - 1024))::INT AS first_sample,
+               max(CASE WHEN j = 1599 + doc_id % 97 THEN pcm END)::INT AS last_sample
+        FROM v GROUP BY doc_id
     """
     return out

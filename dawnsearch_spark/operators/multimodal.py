@@ -455,6 +455,14 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
             rates = np.empty(n, np.int32)
             groups: dict[int, list[tuple[int, np.ndarray, int]]] = {}
             for i, p in enumerate(payloads):
+                if p[:4] == b"fLaC":
+                    # lossless FLAC (fixed-predictor subset, functions/
+                    # flac.py): CRC8/CRC16/MD5-verified exact decode
+                    from dawnsearch_spark.functions.flac import decode_flac
+
+                    dec, rates[i] = decode_flac(p)
+                    samples[i] = dec.reshape(-1)
+                    continue
                 fmt_tag, ch, rate, _br, balign, bits, off, dlen, fact_n = _wav_layout(p)
                 rates[i] = rate
                 if fmt_tag == 1 and bits == 16:
