@@ -132,6 +132,104 @@ SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT {k}
 """
 
 
+def _phrase_sql(terms: list[str], k: int = 10) -> str:
+    """Exact-phrase BM25 oracle: positional adjacency recomputed in SQL
+    (1-indexed DuckDB lists; positions i in 1..len-m+1 where every shifted
+    token equals the phrase term), then single-synthetic-term BM25 with
+    df = number of matching docs."""
+    m = len(terms)
+    adj = " AND ".join(f"t[i+{j}] = '{t}'" for j, t in enumerate(terms))
+    toks = _tok_sql("text")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS t FROM documents),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM d),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+pt AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(t) - {m} + 2), i -> {adj}))::BIGINT AS phrase_tf
+  FROM d
+),
+mt AS (SELECT doc_id, phrase_tf FROM pt WHERE phrase_tf > 0),
+dfp AS (SELECT count(*)::DOUBLE AS dfp FROM mt),
+sc AS (
+  SELECT mt.doc_id, mt.phrase_tf,
+         ln((st.n - dfp.dfp + 0.5) / (dfp.dfp + 0.5) + 1.0)
+         * mt.phrase_tf * ({CFG.k1} + 1.0)
+         / (mt.phrase_tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.dl / st.avgdl)) AS s
+  FROM mt JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN dfp
+)
+SELECT doc_id, phrase_tf, round(s, 6) AS score
+FROM sc ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
+def _bool_sql(
+    must: list[str], should: list[str], must_not: list[str], k: int = 10
+) -> str:
+    """Boolean BM25 oracle: score over must+should terms with corpus-wide
+    per-term df, containment via HAVING over the distinct (doc, term)
+    rows, exclusion via NOT IN over the must_not postings."""
+    score_terms = sorted(set(must) | set(should))
+    terms_in = ", ".join(f"'{t}'" for t in score_terms)
+    must_in = ", ".join(f"'{t}'" for t in must)
+    not_in = ", ".join(f"'{t}'" for t in must_not)
+    toks = _tok_sql("text")
+    excl = (
+        f"AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM "
+        f"(SELECT doc_id, unnest({toks}) AS term FROM documents) "
+        f"WHERE term IN ({not_in}))"
+        if must_not
+        else ""
+    )
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents
+),
+st AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  WHERE term IN ({terms_in})
+  GROUP BY doc_id, term
+),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+              * tf.tf * ({CFG.k1} + 1.0)
+              / (tf.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.dl / st.avgdl)) ) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  WHERE TRUE {excl}
+  GROUP BY tf.doc_id
+  HAVING sum(CASE WHEN tf.term IN ({must_in}) THEN 1 ELSE 0 END) = {len(must)}
+)
+SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
+def _facet_sql(query_terms: list[str], facet_cols: list[str]) -> str:
+    """OR-match facet counts: distinct match ids from the query terms'
+    postings, then one count per (facet, value)."""
+    terms_in = ", ".join(f"'{t}'" for t in query_terms)
+    toks = _tok_sql("text")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS facet, {c}::VARCHAR AS value, count(*)::BIGINT AS n_docs "
+        f"FROM j GROUP BY {c}"
+        for c in facet_cols
+    )
+    return f"""
+WITH m AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  WHERE term IN ({terms_in})
+),
+j AS (SELECT d.* FROM documents d JOIN m USING (doc_id))
+{unions}
+"""
+
+
 def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tf = term_frequencies(docs)
@@ -179,6 +277,52 @@ def q_bm25_topk_1(spark, sf_dir):
 
 def q_bm25_topk_2(spark, sf_dir):
     return _bm25_spark(spark, sf_dir, BM25_QUERY_2)
+
+
+PHRASE_QUERY = "hash join"
+BOOL_MUST = ["dup", "merge"]
+BOOL_SHOULD = ["window", "filter"]
+BOOL_MUST_NOT = ["customer"]
+FACET_QUERY = "table scan query"
+
+
+def q_phrase_topk(spark, sf_dir):
+    """Exact-phrase BM25 top-10 (operators/boolquery.py): postings
+    intersection prunes candidates, adjacency verified on candidate rows
+    only, phrase scored as one synthetic term (tf = occurrences, df =
+    matching docs). The oracle recomputes adjacency positionally in SQL."""
+    from dawnsearch_spark.operators.boolquery import phrase_topk
+
+    docs = _docs(spark, sf_dir)
+    tf = term_frequencies(docs)
+    stats = corpus_stats(doc_lengths(docs))
+    top = phrase_topk(docs, tf, stats, PHRASE_QUERY, CFG)
+    return top.select("doc_id", "phrase_tf", F.round("score", 6).alias("score"))
+
+
+def q_bool_topk(spark, sf_dir):
+    """Boolean BM25 top-10 (must/should/must_not, Lucene semantics)."""
+    from dawnsearch_spark.operators.boolquery import boolean_topk
+
+    docs = _docs(spark, sf_dir)
+    tf = term_frequencies(docs)
+    stats = corpus_stats(doc_lengths(docs))
+    dfs = document_frequencies(tf)
+    top = boolean_topk(
+        tf, dfs, stats, CFG,
+        must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_MUST_NOT,
+    )
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_facet_counts(spark, sf_dir):
+    """Facet aggregation over the full OR-match set (lang + source),
+    single shuffle for any number of facet columns."""
+    from dawnsearch_spark.operators.boolquery import facet_counts
+
+    docs = _docs(spark, sf_dir)
+    tf = term_frequencies(docs)
+    return facet_counts(docs, tf, FACET_QUERY, ["lang", "source"])
 
 
 def q_filter_project(spark, sf_dir):
@@ -1422,6 +1566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_tf": q_term_tf,
         "doc_freq": q_doc_freq,
         "bm25_topk_1": q_bm25_topk_1,
+        "phrase_topk": q_phrase_topk,
+        "bool_topk": q_bool_topk,
+        "facet_counts": q_facet_counts,
         "bm25_topk_2": q_bm25_topk_2,
         "wand_topk_1": q_wand_topk_1,
         "wand_topk_2": q_wand_topk_2,
@@ -1611,6 +1758,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term
         """,
         "bm25_topk_1": _bm25_sql(BM25_QUERY_1.split()),
+        "phrase_topk": _phrase_sql(PHRASE_QUERY.split()),
+        "bool_topk": _bool_sql(BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT),
+        "facet_counts": _facet_sql(FACET_QUERY.split(), ["lang", "source"]),
         "bm25_topk_2": _bm25_sql(BM25_QUERY_2.split()),
         # the WAND index path answers against the SAME exact-BM25 oracle:
         # rank identity of the segment engine is what the BASELINE metric

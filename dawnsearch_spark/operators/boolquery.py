@@ -1,0 +1,256 @@
+"""Boolean / phrase query surface over the lexical engine.
+
+Reference analog: the reference's entire query surface is one ANN call
+(/root/reference/src/search/search_provider.rs:214) — it has no phrase or
+boolean operators. A fulltext index that users would actually switch to
+needs the classic query language on top of BM25, so this module adds the
+three standard compositions, each expressed Spark-first over the same TF
+relation the scorer uses (operators/tf.py):
+
+* :func:`phrase_topk`   — "exact phrase" ranking. Candidate docs are found
+  by POSTINGS INTERSECTION (all phrase terms present — a groupBy over the
+  query terms' TF rows only, shuffle proportional to those postings, never
+  the corpus), and token adjacency is then verified by re-tokenizing ONLY
+  the candidate rows (broadcast hash join into the doc scan, vectorized
+  shift-AND inside ``mapInPandas``). At 100 TB the candidate set is bounded
+  by the rarest term's df, so the expensive content pass touches a sliver
+  of the table; everything before it is doc_id-only traffic. Scoring is
+  BM25 with the phrase as a single synthetic term (Lucene PhraseQuery
+  semantics: tf = number of phrase occurrences, df = number of docs
+  containing the phrase).
+
+* :func:`boolean_topk`  — must / should / must_not (Lucene BooleanQuery
+  semantics): must terms are a containment requirement AND score
+  contributors, should terms contribute score only, must_not excludes.
+  Containment is the same postings intersection; exclusion is a broadcast
+  left-anti join on the must_not postings' doc_ids. Per-doc scores fold in
+  ascending-term order (array_sort + aggregate) for bitwise-reproducible
+  float64 sums, exactly like the exact scorer (operators/oracle.py).
+
+* :func:`facet_counts`  — facet aggregation over the FULL match set (OR
+  semantics), the search-engine sidebar: one distinct pass over the query
+  terms' postings for match ids, one co-partitioned join against the
+  forward index, one explode-to-(facet, value) aggregate — a single
+  shuffle regardless of how many facet columns are requested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dawnsearch_spark.config import EngineConfig
+from dawnsearch_spark.functions.bm25 import bm25_col, idf_col
+from dawnsearch_spark.functions.tokenizer import tokenize_pandas, tokenize_py
+from dawnsearch_spark.operators.tf import CorpusStats
+
+
+def _phrase_hits(tokens: np.ndarray, terms: list[str]) -> int:
+    """Number of positions where ``terms`` occurs contiguously in
+    ``tokens`` — vectorized shift-AND (one boolean array op per phrase
+    term, no per-position Python loop)."""
+    m = len(terms)
+    n = len(tokens)
+    if n < m:
+        return 0
+    mask = tokens[: n - m + 1] == terms[0]
+    for j in range(1, m):
+        mask &= tokens[j : n - m + 1 + j] == terms[j]
+    return int(mask.sum())
+
+
+def phrase_topk(
+    docs: DataFrame,
+    tf: DataFrame,
+    stats: CorpusStats,
+    phrase: str,
+    cfg: EngineConfig,
+    k: int | None = None,
+    content_col: str = "content",
+) -> DataFrame:
+    """Exact-phrase BM25 top-k: (doc_id, phrase_tf, score).
+
+    ``tf`` is the (term, doc_id, dl, tf) relation (or the index's postings
+    projected to that shape); ``stats`` the corpus stats the index already
+    holds. The phrase scores as one synthetic term: tf = occurrence count,
+    df = matching-doc count, dl/avgdl as usual.
+    """
+    k = k or cfg.top_k
+    terms = tokenize_py(phrase)
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, phrase_tf long, score double"
+        )
+    uniq = sorted(set(terms))
+
+    # 1. containment pruning: docs holding ALL phrase terms. Only the
+    # query terms' postings flow into this shuffle; (term, doc_id) is
+    # unique in tf so count(*) == |uniq| is the intersection test.
+    cand = (
+        tf.filter(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .filter(F.col("_nt") == len(uniq))
+        .select("doc_id")
+    )
+
+    # 2. adjacency verification over candidate rows only (broadcast hash
+    # join — the candidate side is bounded by min df over the phrase
+    # terms; the corpus scan streams, nothing shuffles).
+    cand_docs = docs.select("doc_id", content_col).join(F.broadcast(cand), "doc_id")
+
+    phrase_terms = terms  # closure for the Arrow batches
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = tokenize_pandas(pdf[content_col])
+            ptf = np.fromiter(
+                (
+                    _phrase_hits(np.asarray(t, dtype=object), phrase_terms)
+                    for t in toks
+                ),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                    "dl": toks.str.len().fillna(0).to_numpy(np.int64),
+                    "phrase_tf": ptf,
+                }
+            )
+
+    matched = cand_docs.mapInPandas(
+        gen, "doc_id long, dl long, phrase_tf long"
+    ).filter(F.col("phrase_tf") > 0)
+
+    # 3. BM25 with the phrase as a single term; df comes from the match
+    # set itself (1-row aggregate, cross-joined — stays declarative, no
+    # driver round-trip).
+    dfp = matched.agg(F.count(F.lit(1)).cast("double").alias("_dfp"))
+    scored = matched.crossJoin(F.broadcast(dfp)).withColumn(
+        "score",
+        bm25_col(
+            F.col("phrase_tf"),
+            F.col("dl"),
+            idf_col(F.col("_dfp"), float(stats.n_docs)),
+            stats.avgdl,
+            cfg.k1,
+            cfg.b,
+        ),
+    )
+    return (
+        scored.select("doc_id", "phrase_tf", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def boolean_topk(
+    tf: DataFrame,
+    term_stats: DataFrame,
+    stats: CorpusStats,
+    cfg: EngineConfig,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Lucene-style boolean BM25 top-k: (doc_id, score).
+
+    must      — every term required in the doc; contributes score.
+    should    — optional; contributes score when present.
+    must_not  — any occurrence excludes the doc (broadcast anti-join).
+
+    df for each scoring term is the corpus-wide document frequency from
+    ``term_stats`` (containment does NOT reweight idf — Lucene semantics),
+    and the per-doc sum folds in ascending-term order for reproducibility.
+    """
+    spark = tf.sparkSession
+    k = k or cfg.top_k
+    must_t = sorted({t for s in (must or []) for t in tokenize_py(s)})
+    should_t = sorted({t for s in (should or []) for t in tokenize_py(s)})
+    not_t = sorted({t for s in (must_not or []) for t in tokenize_py(s)})
+    score_t = sorted(set(must_t) | set(should_t))
+    if not score_t:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    q = spark.createDataFrame(
+        [(t, t in must_t) for t in score_t], "term string, is_must boolean"
+    )
+    tfq = tf.join(F.broadcast(q), "term").join(
+        F.broadcast(term_stats.select("term", "df").join(q, "term", "left_semi")),
+        "term",
+    )
+    tscore: Column = bm25_col(
+        F.col("tf"),
+        F.col("dl"),
+        idf_col(F.col("df"), float(stats.n_docs)),
+        stats.avgdl,
+        cfg.k1,
+        cfg.b,
+    )
+    per_doc = (
+        tfq.withColumn("tscore", tscore)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("term", "tscore"))).alias("_parts"),
+            F.sum(F.when(F.col("is_must"), 1).otherwise(0)).alias("_nmust"),
+        )
+        .filter(F.col("_nmust") == len(must_t))
+        .select(
+            "doc_id",
+            F.aggregate("_parts", F.lit(0.0), lambda acc, x: acc + x["tscore"]).alias(
+                "score"
+            ),
+        )
+    )
+    if not_t:
+        excl = tf.filter(F.col("term").isin(not_t)).select("doc_id").distinct()
+        per_doc = per_doc.join(F.broadcast(excl), "doc_id", "left_anti")
+    return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def facet_counts(
+    docs: DataFrame,
+    tf: DataFrame,
+    query: str,
+    facet_cols: list[str],
+) -> DataFrame:
+    """Facet aggregation over the full OR-match set: (facet, value, n_docs).
+
+    The match set (docs containing >= 1 query term) comes from the query
+    terms' postings only — a distinct over doc_id, no content touched.
+    Facet columns ride one co-partitioned join against the forward index
+    and a single explode-to-pairs aggregate, so adding facets adds zero
+    shuffles.
+    """
+    terms = sorted(set(tokenize_py(query)))
+    matched = (
+        tf.filter(F.col("term").isin(terms)).select("doc_id").distinct()
+    )
+    joined = docs.select("doc_id", *facet_cols).join(matched, "doc_id")
+    pairs = joined.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("facet"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in facet_cols
+                ]
+            )
+        ).alias("fv")
+    )
+    return (
+        pairs.select("fv.facet", "fv.value")
+        .groupBy("facet", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -1,0 +1,130 @@
+"""Boolean / phrase query operators (operators/boolquery.py).
+
+Semantics pinned against tiny hand-computable corpora; the sf0.01-scale
+behavior is oracle-gated in test_entry_contract (phrase_topk / bool_topk /
+facet_counts)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from dawnsearch_spark.config import EngineConfig
+from dawnsearch_spark.operators.boolquery import (
+    _phrase_hits,
+    boolean_topk,
+    facet_counts,
+    phrase_topk,
+)
+from dawnsearch_spark.operators.tf import (
+    corpus_stats,
+    doc_lengths,
+    document_frequencies,
+    term_frequencies,
+)
+
+CFG = EngineConfig()
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        (0, "alpha beta gamma alpha beta", "en", "s0"),
+        (1, "beta alpha beta gamma", "en", "s1"),
+        (2, "alpha gamma beta delta", "fr", "s0"),
+        (3, "delta delta alpha beta alpha beta", "fr", "s1"),
+        (4, "gamma delta epsilon", "en", "s0"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, content string, lang string, source string"
+    ).cache()
+    df.count()
+    return df
+
+
+def test_phrase_hits_vectorized():
+    t = np.asarray("a b a b a".split(), dtype=object)
+    assert _phrase_hits(t, ["a", "b"]) == 2
+    assert _phrase_hits(t, ["b", "a"]) == 2
+    assert _phrase_hits(t, ["a", "b", "a"]) == 2  # overlapping occurrences count
+    assert _phrase_hits(t, ["a", "a"]) == 0
+    assert _phrase_hits(t, list("ababab")) == 0  # longer than doc
+    assert _phrase_hits(np.asarray([], dtype=object), ["a"]) == 0
+
+
+def test_phrase_topk_semantics(spark, tiny):
+    tf = term_frequencies(tiny)
+    stats = corpus_stats(doc_lengths(tiny))
+    out = phrase_topk(tiny, tf, stats, "alpha beta", CFG).collect()
+    got = {r.doc_id: r.phrase_tf for r in out}
+    # docs 0 (x2), 1 (x1), 3 (x2) contain "alpha beta" adjacently; doc 2
+    # has both terms but never adjacent -> pruned by verification
+    assert got == {0: 2, 1: 1, 3: 2}
+    # scores: BM25 with df=3, tf=phrase occurrences; identical tf + dl
+    # ordering means doc 0 (dl 5) outranks doc 3 (dl 6)
+    order = [r.doc_id for r in out]
+    assert order.index(0) < order.index(3)
+    n, avgdl = stats.n_docs, stats.avgdl
+    idf = math.log((n - 3 + 0.5) / (3 + 0.5) + 1.0)
+    for r in out:
+        dl = {0: 5, 1: 4, 3: 6}[r.doc_id]
+        want = idf * r.phrase_tf * (CFG.k1 + 1) / (
+            r.phrase_tf + CFG.k1 * (1 - CFG.b + CFG.b * dl / avgdl)
+        )
+        assert abs(r.score - want) < 1e-12
+
+
+def test_phrase_empty_and_absent(spark, tiny):
+    tf = term_frequencies(tiny)
+    stats = corpus_stats(doc_lengths(tiny))
+    assert phrase_topk(tiny, tf, stats, "", CFG).count() == 0
+    assert phrase_topk(tiny, tf, stats, "nosuch term", CFG).count() == 0
+    # all terms present somewhere but never adjacent in any doc
+    assert phrase_topk(tiny, tf, stats, "epsilon alpha", CFG).count() == 0
+
+
+def test_boolean_topk_semantics(spark, tiny):
+    tf = term_frequencies(tiny)
+    stats = corpus_stats(doc_lengths(tiny))
+    dfs = document_frequencies(tf)
+    # must delta -> docs 2,3,4; must_not epsilon removes 4
+    out = boolean_topk(
+        tf, dfs, stats, CFG, must=["delta"], should=["alpha"], must_not=["epsilon"]
+    ).collect()
+    assert {r.doc_id for r in out} == {2, 3}
+    # empty must -> pure should (OR) query over all docs containing alpha
+    out2 = boolean_topk(tf, dfs, stats, CFG, should=["alpha"]).collect()
+    assert {r.doc_id for r in out2} == {0, 1, 2, 3}
+    # conjunction of two musts
+    out3 = boolean_topk(tf, dfs, stats, CFG, must=["alpha", "gamma"]).collect()
+    assert {r.doc_id for r in out3} == {0, 1, 2}
+    # no scoring terms -> empty frame, stable schema
+    empty = boolean_topk(tf, dfs, stats, CFG, must_not=["alpha"])
+    assert empty.count() == 0 and empty.columns == ["doc_id", "score"]
+
+
+def test_boolean_matches_exact_oracle_on_or(spark, tiny):
+    """Pure-should boolean == the exact BM25 scorer (same fold order)."""
+    from dawnsearch_spark.operators.oracle import bm25_exact_topk
+
+    tf = term_frequencies(tiny)
+    stats = corpus_stats(doc_lengths(tiny))
+    dfs = document_frequencies(tf)
+    a = boolean_topk(tf, dfs, stats, CFG, should=["alpha", "gamma"]).collect()
+    b = bm25_exact_topk(tf, dfs, stats, "alpha gamma", CFG).collect()
+    assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+
+
+def test_facet_counts(spark, tiny):
+    tf = term_frequencies(tiny)
+    out = facet_counts(tiny, tf, "delta epsilon", ["lang", "source"]).collect()
+    got = {(r.facet, r.value): r.n_docs for r in out}
+    # match set: docs 2,3,4 (delta) | 4 (epsilon) -> {2,3,4}
+    assert got == {
+        ("lang", "fr"): 2,
+        ("lang", "en"): 1,
+        ("source", "s0"): 2,
+        ("source", "s1"): 1,
+    }
