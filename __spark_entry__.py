@@ -1186,6 +1186,24 @@ def _wand_topk(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_wand_phrase(spark, sf_dir):
+    """Phrase search served FROM the segment index (phrase_serve.py):
+    candidate docs from posting-list intersection, adjacency verified on
+    the candidate rows of the forward index only, PhraseQuery-style BM25.
+    Answers the SAME positional-adjacency SQL oracle as the batch
+    operator — index serving and corpus recomputation must agree
+    exactly."""
+    from dawnsearch_spark.operators.phrase_serve import search_phrase_index
+
+    root = _wand_index_root(spark, sf_dir)
+    hits = search_phrase_index(spark, root, PHRASE_QUERY, _wand_cfg())
+    out = spark.createDataFrame(
+        [(int(d), int(p), float(s)) for d, p, s in hits] or [],
+        "doc_id long, phrase_tf long, score double",
+    )
+    return out.select("doc_id", "phrase_tf", F.round("score", 6).alias("score"))
+
+
 def q_wand_topk_1(spark, sf_dir):
     return _wand_topk(spark, sf_dir, BM25_QUERY_1)
 
@@ -1567,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_freq": q_doc_freq,
         "bm25_topk_1": q_bm25_topk_1,
         "phrase_topk": q_phrase_topk,
+        "wand_phrase": q_wand_phrase,
         "bool_topk": q_bool_topk,
         "facet_counts": q_facet_counts,
         "bm25_topk_2": q_bm25_topk_2,
@@ -1759,6 +1778,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk_1": _bm25_sql(BM25_QUERY_1.split()),
         "phrase_topk": _phrase_sql(PHRASE_QUERY.split()),
+        "wand_phrase": _phrase_sql(PHRASE_QUERY.split()),
         "bool_topk": _bool_sql(BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT),
         "facet_counts": _facet_sql(FACET_QUERY.split(), ["lang", "source"]),
         "bm25_topk_2": _bm25_sql(BM25_QUERY_2.split()),

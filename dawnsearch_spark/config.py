@@ -65,6 +65,13 @@ class EngineConfig:
     # can never accumulate hundreds of MB of driver NumPy. 2M postings
     # varbyte-decode to ~50 MB of int64 arrays.
     max_driver_postings: int = 2_000_000
+    # Phrase serving (operators/phrase_serve.py): max candidate docs whose
+    # CONTENT the driver hydrates for the zero-job adjacency check. The
+    # candidate set is bounded by the rarest phrase term's df; above this
+    # cap the adjacency pass runs distributed over an id-pruned scan
+    # instead (content rows are ~KBs each, so 4096 ≈ a few MB of driver
+    # pandas — independent of corpus size).
+    max_driver_phrase_docs: int = 4096
     # The Engine keeps the segment METADATA (term, range_id, n_docs,
     # max_tf, min_dl — no blobs) on the driver when the index's
     # segment-row count fits this bound: the in-RAM term dictionary of a

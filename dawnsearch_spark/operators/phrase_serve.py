@@ -1,0 +1,301 @@
+"""Phrase search served FROM the segment index.
+
+The batch operator (operators/boolquery.py) recomputes TF from the corpus;
+this is the serving twin: candidates come from the committed index's
+posting lists, content is touched only for the candidate rows, and the
+whole query runs driver-side (zero Spark jobs) whenever the phrase terms'
+postings fit the driver budget — the same fast-path discipline as WAND
+serving (operators/wand.py).
+
+Our index stores no positions (the reference stores none either — its
+index is positionless vectors, /root/reference/src/search/search_provider
+.rs:35-42), so adjacency is verified on the forward index: candidates =
+intersection of the phrase terms' posting doc_ids (bounded by the rarest
+term's df), then re-tokenize exactly those rows. Lucene pays index bytes
+for positions; we pay a candidate-bounded forward-index read — at 100 TB
+the candidate read is row-group-pruned by doc_id, and when candidates
+exceed the driver cap the adjacency pass runs distributed over an
+IN-pruned scan.
+
+Scoring is PhraseQuery-style single-synthetic-term BM25 (tf = phrase
+occurrences, df = matching docs) with the index's committed corpus stats,
+identical to the batch operator — both answer the same SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dawnsearch_spark.config import EngineConfig
+from dawnsearch_spark.functions.bm25 import bm25_np, idf_np
+from dawnsearch_spark.functions.tokenizer import tokenize_pandas, tokenize_py
+from dawnsearch_spark.index_build import IndexPaths, load_stats, read_segments
+from dawnsearch_spark.operators.boolquery import _phrase_hits
+from dawnsearch_spark.operators.wand import (
+    _decode_row_docs,
+    _term_bucket,
+)
+
+
+def _score_matches(
+    doc_ids: np.ndarray,
+    ptf: np.ndarray,
+    dl: np.ndarray,
+    n_docs: float,
+    avgdl: float,
+    cfg: EngineConfig,
+    k: int,
+) -> list[tuple[int, int, float]]:
+    """(doc_id, phrase_tf, score) top-k, deterministic tie-break."""
+    m = ptf > 0
+    doc_ids, ptf, dl = doc_ids[m], ptf[m], dl[m]
+    if not len(doc_ids):
+        return []
+    idf = float(idf_np(float(len(doc_ids)), n_docs))
+    scores = bm25_np(ptf, dl, idf, avgdl, cfg.k1, cfg.b)
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return [
+        (int(doc_ids[i]), int(ptf[i]), float(scores[i])) for i in order
+    ]
+
+
+def search_phrase_index(
+    spark: SparkSession,
+    index_root: str,
+    phrase: str,
+    cfg: EngineConfig,
+    k: int | None = None,
+    seg_df: DataFrame | None = None,
+    stats=None,
+    counters: dict | None = None,
+    meta_by_term=None,
+    tombstones: np.ndarray | None = None,
+    documents: DataFrame | None = None,
+) -> list[tuple[int, int, float]]:
+    """Exact-phrase top-k from the index: [(doc_id, phrase_tf, score)].
+
+    Fast path (phrase postings within ``cfg.max_driver_postings`` AND
+    candidates within ``cfg.max_driver_phrase_docs``): posting doc_ids
+    decode on the driver via the zero-job pyarrow segment read, intersect
+    with sorted-array merges, and the candidate contents come from ONE
+    pyarrow read of the forward index filtered to the candidate ids —
+    zero Spark jobs end to end. Otherwise the same plan runs distributed:
+    postings decode in ``mapInPandas`` (shuffle = query-term postings
+    only) and adjacency runs over an id-pruned document scan.
+    """
+    ctr = counters if counters is not None else {}
+    ctr.update({"path": None, "candidates": 0, "phrase_df": 0})
+    k = k or cfg.top_k
+    paths = IndexPaths(index_root)
+    stats = stats if stats is not None else load_stats(index_root)
+    terms = tokenize_py(phrase)
+    if not terms:
+        return []
+    uniq = sorted(set(terms))
+    ctr["terms"] = len(uniq)
+    if tombstones is not None and not len(tombstones):
+        tombstones = None
+
+    from dawnsearch_spark.manifest import read_manifest
+    from dawnsearch_spark.operators.segment_reader import (
+        META_COLUMNS,
+        read_segment_rows,
+    )
+
+    buckets = sorted({_term_bucket(t, cfg.num_term_buckets) for t in uniq})
+    seg_manifest = read_manifest(index_root, "segments") or {}
+    gens = None
+    if "generations" in seg_manifest:
+        gens = [
+            int(g["gen"])
+            for g in (seg_manifest.get("generations") or [])
+            if int(g.get("rows", 0)) > 0
+        ]
+
+    # metadata plan: per-term df from the term dictionary / meta rows
+    if meta_by_term is not None:
+        meta = [m for t in uniq for m in meta_by_term.get(t, ())]
+    else:
+        meta = read_segment_rows(
+            paths.segments, buckets, uniq, columns=META_COLUMNS, gens=gens
+        )
+        if meta is None:
+            sdf = seg_df if seg_df is not None else read_segments(spark, index_root)
+            meta = [
+                r.asDict()
+                for r in sdf.filter(
+                    F.col("bucket").isin(buckets) & F.col("term").isin(uniq)
+                )
+                .select(*META_COLUMNS)
+                .collect()
+            ]
+    term_df: dict[str, int] = {}
+    for r in meta:
+        term_df[r["term"]] = term_df.get(r["term"], 0) + int(r["n_docs"])
+    if any(t not in term_df for t in uniq):
+        ctr["path"] = "missing_term"
+        return []  # a phrase term absent from the corpus: no match possible
+    total_postings = sum(term_df.values())
+
+    doc_cols = ["term", "range_id", "n_docs", "doc_blob"]
+    content_col = cfg.content_col
+
+    cand: np.ndarray | None = None
+    if total_postings <= cfg.max_driver_postings:
+        rows = read_segment_rows(
+            paths.segments, buckets, uniq, columns=doc_cols, gens=gens
+        )
+        if rows is not None:
+            ctr["path"] = "driver"
+            ctr["driver_postings_decoded"] = total_postings
+            by_term: dict[str, list[np.ndarray]] = {}
+            for r in rows:
+                by_term.setdefault(r["term"], []).append(
+                    _decode_row_docs({"doc_blob": bytes(r["doc_blob"]),
+                                      "n_docs": int(r["n_docs"])})
+                )
+            # rarest-first successive intersection (each term's ranges and
+            # generations are disjoint, so concatenation has no dups)
+            sets = sorted(
+                (np.sort(np.concatenate(v)) for v in by_term.values()), key=len
+            )
+            cand = sets[0]
+            for s in sets[1:]:
+                cand = cand[np.isin(cand, s, assume_unique=True)]
+                if not len(cand):
+                    break
+    if cand is not None and tombstones is not None and len(cand):
+        from dawnsearch_spark.operators.merge import _tombstone_mask
+
+        cand = cand[_tombstone_mask(cand, tombstones)]
+    if cand is not None:
+        ctr["candidates"] = int(len(cand))
+        if not len(cand):
+            return []
+
+    if cand is not None and len(cand) <= cfg.max_driver_phrase_docs:
+        # zero-job adjacency: pyarrow read of the forward index pruned to
+        # the candidate ids (row-group stats skip everything else — the
+        # doc_id-ranged layout makes this the J1 point-lookup shape)
+        try:
+            import pyarrow.dataset as pds
+
+            tbl = pds.dataset(paths.documents).to_table(
+                columns=["doc_id", content_col],
+                filter=pds.field("doc_id").isin([int(d) for d in cand]),
+            )
+        except (OSError, ValueError, ImportError):
+            tbl = None
+        if tbl is not None:
+            pdf = tbl.to_pandas()
+            toks = tokenize_pandas(pdf[content_col])
+            ptf = np.fromiter(
+                (_phrase_hits(np.asarray(t, dtype=object), terms) for t in toks),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            dl = toks.str.len().fillna(0).to_numpy(np.int64)
+            out = _score_matches(
+                pdf["doc_id"].to_numpy(np.int64), ptf, dl,
+                float(stats.n_docs), stats.avgdl, cfg, k,
+            )
+            ctr["phrase_df"] = int((ptf > 0).sum())
+            return out
+
+    # ---- distributed branch: candidates (or their excess) in Spark ----
+    ctr["path"] = "distributed"
+    sdf = seg_df if seg_df is not None else read_segments(spark, index_root)
+    docs_rel = (
+        documents if documents is not None else spark.read.parquet(paths.documents)
+    )
+    if cand is None:
+        rows_df = sdf.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(uniq)
+        ).select(*doc_cols)
+
+        def decode_gen(batches):
+            for pdf in batches:
+                for i in range(len(pdf)):
+                    docs = _decode_row_docs(
+                        {
+                            "doc_blob": bytes(pdf["doc_blob"].iloc[i]),
+                            "n_docs": int(pdf["n_docs"].iloc[i]),
+                        }
+                    )
+                    yield pd.DataFrame(
+                        {"doc_id": docs, "term": pdf["term"].iloc[i]}
+                    )
+
+        posting_docs = rows_df.mapInPandas(decode_gen, "doc_id long, term string")
+        cand_df = (
+            posting_docs.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_nt"))
+            .filter(F.col("_nt") == len(uniq))
+            .select("doc_id")
+        )
+    else:
+        cand_df = spark.createDataFrame(
+            [(int(d),) for d in cand], "doc_id long"
+        )
+    if tombstones is not None:
+        tomb_df = spark.createDataFrame(
+            [(int(d),) for d in np.asarray(tombstones)], "doc_id long"
+        )
+        cand_df = cand_df.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+    cand_docs = docs_rel.select("doc_id", content_col).join(
+        F.broadcast(cand_df), "doc_id"
+    )
+    phrase_terms = terms
+
+    def adj_gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = tokenize_pandas(pdf[content_col])
+            ptf = np.fromiter(
+                (
+                    _phrase_hits(np.asarray(t, dtype=object), phrase_terms)
+                    for t in toks
+                ),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                    "dl": toks.str.len().fillna(0).to_numpy(np.int64),
+                    "phrase_tf": ptf,
+                }
+            )
+
+    from dawnsearch_spark.functions.bm25 import bm25_col, idf_col
+
+    matched = cand_docs.mapInPandas(
+        adj_gen, "doc_id long, dl long, phrase_tf long"
+    ).filter(F.col("phrase_tf") > 0)
+    # score + top-k stay distributed: only k result rows ever reach the
+    # driver even when the phrase matches millions of docs
+    dfp = matched.agg(F.count(F.lit(1)).cast("double").alias("_dfp"))
+    top = (
+        matched.crossJoin(F.broadcast(dfp))
+        .withColumn(
+            "score",
+            bm25_col(
+                F.col("phrase_tf"),
+                F.col("dl"),
+                idf_col(F.col("_dfp"), float(stats.n_docs)),
+                stats.avgdl,
+                cfg.k1,
+                cfg.b,
+            ),
+        )
+        .select("doc_id", "phrase_tf", "score", "_dfp")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .collect()
+    )
+    ctr["phrase_df"] = int(top[0]["_dfp"]) if top else 0
+    return [(int(r["doc_id"]), int(r["phrase_tf"]), float(r["score"])) for r in top]

@@ -322,6 +322,32 @@ class Engine:
             tombstones=self._tombstones,
         )
 
+    def search_phrase(
+        self, phrase: str, k: int | None = None, counters: dict | None = None
+    ) -> list[tuple[int, int, float]]:
+        """Exact-phrase top-k from the index: [(doc_id, phrase_tf, score)].
+        Candidates come from the posting lists (intersection bounded by the
+        rarest term's df), adjacency is verified on the candidate rows of
+        the forward index, and the whole query is zero-Spark-job when the
+        phrase postings + candidates fit the driver budgets (see
+        operators/phrase_serve.py)."""
+        from dawnsearch_spark.operators.phrase_serve import search_phrase_index
+
+        self.last_search_counters = counters if counters is not None else {}
+        return search_phrase_index(
+            self.spark,
+            self.paths.root,
+            phrase,
+            self.cfg,
+            k=k,
+            seg_df=self._segments,
+            stats=self.stats_,
+            counters=self.last_search_counters,
+            meta_by_term=self._meta_by_term,
+            tombstones=self._tombstones,
+            documents=self._documents,
+        )
+
     def delete(self, doc_ids=None, keys=None) -> dict:
         """Tombstone-delete documents and re-sync this Engine — deleted
         docs vanish from every subsequent search immediately; stats stay

@@ -1,0 +1,95 @@
+"""Index-served phrase search (operators/phrase_serve.py): the driver
+zero-job path, the forced distributed path, tombstone masking, and
+agreement with the batch operator (operators/boolquery.py)."""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import pytest
+
+from dawnsearch_spark.index_build import build_index
+from dawnsearch_spark.operators.boolquery import phrase_topk
+from dawnsearch_spark.operators.phrase_serve import search_phrase_index
+from dawnsearch_spark.operators.tf import (
+    corpus_stats,
+    doc_lengths,
+    term_frequencies,
+)
+from dawnsearch_spark.plans.query import Engine
+
+
+@pytest.fixture(scope="module")
+def phrase_index(tmp_path_factory, spark, small_corpus, cfg):
+    d = str(tmp_path_factory.mktemp("phrase_idx"))
+    build_index(spark, small_corpus, d, cfg, n_groups=2)
+    return d
+
+
+@pytest.fixture(scope="module")
+def a_phrase(small_corpus):
+    """A 2-token phrase guaranteed present: the first two tokens of the
+    longest document."""
+    from dawnsearch_spark.functions.tokenizer import tokenize_py
+
+    row = small_corpus.orderBy("doc_id").limit(1).collect()[0]
+    toks = tokenize_py(row["content"])
+    assert len(toks) >= 2
+    return f"{toks[0]} {toks[1]}"
+
+
+def _batch_result(spark, small_corpus, phrase, cfg, k=10):
+    tf = term_frequencies(small_corpus)
+    stats = corpus_stats(doc_lengths(small_corpus))
+    rows = phrase_topk(small_corpus, tf, stats, phrase, cfg, k=k).collect()
+    return [(r.doc_id, r.phrase_tf, round(r.score, 9)) for r in rows]
+
+
+def test_driver_path_matches_batch_operator(spark, small_corpus, phrase_index, cfg, a_phrase):
+    ctr: dict = {}
+    hits = search_phrase_index(
+        spark, phrase_index, a_phrase, cfg, counters=ctr
+    )
+    assert ctr["path"] == "driver" and ctr["candidates"] > 0
+    assert hits, "phrase taken from a real doc must match"
+    got = [(d, p, round(s, 9)) for d, p, s in hits]
+    assert got == _batch_result(spark, small_corpus, a_phrase, cfg)
+
+
+def test_distributed_path_same_answer(spark, small_corpus, phrase_index, cfg, a_phrase):
+    """Starve both driver budgets -> the Spark branch must return the
+    identical ranking (scores equal to 9 dp)."""
+    starved = replace(cfg, max_driver_postings=0, max_driver_phrase_docs=0)
+    ctr: dict = {}
+    hits = search_phrase_index(
+        spark, phrase_index, a_phrase, starved, counters=ctr
+    )
+    assert ctr["path"] == "distributed"
+    got = [(d, p, round(s, 9)) for d, p, s in hits]
+    assert got == _batch_result(spark, small_corpus, a_phrase, cfg)
+
+
+def test_absent_term_short_circuits(spark, phrase_index, cfg):
+    ctr: dict = {}
+    assert (
+        search_phrase_index(
+            spark, phrase_index, "zzzznope qqqqnada", cfg, counters=ctr
+        )
+        == []
+    )
+    assert ctr["path"] == "missing_term"
+
+
+def test_engine_method_and_tombstones(spark, phrase_index, cfg, a_phrase, small_corpus):
+    e = Engine(spark, phrase_index, cfg)
+    hits = e.search_phrase(a_phrase)
+    assert hits == search_phrase_index(spark, phrase_index, a_phrase, cfg)
+    top_doc = hits[0][0]
+    e.delete(doc_ids=[top_doc])
+    hits2 = e.search_phrase(a_phrase)
+    assert all(d != top_doc for d, _, _ in hits2)
+    # surviving matches: scores recomputed with the reduced phrase df —
+    # the same docs (minus the deleted one) must still be present
+    before_ids = {d for d, _, _ in hits}
+    after_ids = {d for d, _, _ in hits2}
+    assert after_ids <= before_ids - {top_doc} or len(hits) == e.cfg.top_k
