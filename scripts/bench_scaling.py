@@ -51,13 +51,17 @@ def run_one(cores: int, corpus: str, docs: int) -> None:
         },
     )
     # IDENTICAL job config at both cluster sizes (the north rule measures
-    # the same job at N and 4N executors): fixed partition counts sized for
-    # the larger cluster — the small cluster just runs more waves.
+    # the same job at N and 4N executors). Partition count derives from the
+    # INPUT (fixed ~2500 docs/task — 64 at the 160k bench size), never from
+    # the cluster size: strong-scaling runs (same docs) get the same plan at
+    # both sizes and the small cluster just runs more waves; weak-scaling
+    # runs (docs ∝ cores) get identical per-task work and identical
+    # tasks-per-core at both sizes.
     cfg = EngineConfig(
         heavy_df_threshold=max(1000, docs // 8),
         range_size=4096,
         num_term_buckets=32,
-        build_partitions=64,
+        build_partitions=max(16, docs // 2500),
     )
     src = spark.read.parquet(corpus)
     with tempfile.TemporaryDirectory() as tmp:
@@ -190,11 +194,147 @@ def run_append_pass(cores: int, corpus: str, docs: int, n_appends: int = 4,
     spark.stop()
 
 
+def run_weak(docs: int, repeat: int, json_out: str | None) -> None:
+    """Weak-scaling pass (VERDICT r5 #4): fixed work PER CORE — docs/4 on
+    the 2x4 cluster vs docs on the 8x4 cluster, same per-task work (the
+    partition count scales with the input), same config family. Perfect
+    scaling = equal wall time; efficiency = sec_small / sec_large. This
+    formulation sidesteps the host's concurrent-allocation pathology
+    (BASELINE.md environment analysis): unlike strong scaling it does not
+    require 4x the allocation rate on one memory subsystem, which is the
+    term the sandbox host serializes — on a real cluster each node has
+    its own, which is what the design targets. Draws are interleaved
+    (small, large, small, large) per the variance discipline so slow host
+    phases hit both sizes equally."""
+    import re
+
+    from dawnsearch_spark.corpus import generate_corpus
+    from dawnsearch_spark.session import get_spark
+
+    sizes = {8: docs // 4, 32: docs}
+    workdir = tempfile.mkdtemp(prefix="weak_corpus_")
+    spark = get_spark("weak-gen", master="local[32]")
+    corpora = {}
+    for cores, n in sizes.items():
+        # counter-based hashing: the small corpus is a strict prefix of
+        # the large one — same content distribution, no re-tuning
+        corpora[cores] = os.path.join(workdir, f"corpus_{n}")
+        generate_corpus(spark, n, seed=42).write.parquet(corpora[cores])
+    spark.stop()
+
+    draws: dict[int, list[dict]] = {8: [], 32: []}
+    for _rep in range(max(1, repeat)):
+        for cores in (8, 32):  # interleaved: host drift hits both sizes
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run-one",
+                 "--cores", str(cores), "--corpus", corpora[cores],
+                 "--docs", str(sizes[cores])],
+                capture_output=True, text=True, check=True,
+            )
+            r = json.loads(re.findall(r'\{"cores".*?\}', out.stdout)[-1])
+            draws[cores].append(r)
+            print(r)
+
+    best = {c: min(r["sec"] for r in draws[c]) for c in (8, 32)}
+    best_tf = {c: min(r["tf_stage_sec"] for r in draws[c]) for c in (8, 32)}
+    summary = {
+        "weak_scaling": {
+            "docs_per_core": docs // 32,
+            "docs": {str(c): sizes[c] for c in (8, 32)},
+            "draws": {str(c): draws[c] for c in (8, 32)},
+            "best_sec": {str(c): best[c] for c in (8, 32)},
+            "best_tf_stage_sec": {str(c): best_tf[c] for c in (8, 32)},
+            # fixed per-core work: 1.0 = the 4x cluster absorbs 4x the
+            # data in the same wall time
+            "weak_scaling_efficiency_full": round(best[8] / best[32], 3),
+            "weak_scaling_efficiency_tf": round(best_tf[8] / best_tf[32], 3),
+        }
+    }
+    print(json.dumps(summary))
+    if json_out:
+        merged = {}
+        if os.path.exists(json_out):
+            with open(json_out) as f:
+                merged = json.load(f)
+        merged.update(summary)
+        with open(json_out, "w") as f:
+            json.dump(merged, f, indent=1)
+
+
+def run_probe(corpus: str, json_out: str | None) -> None:
+    """Spark-free concurrency probe: the engine's dominant compute kernel
+    (vectorized tokenize+len over pandas) at P=2 vs P=8 concurrent
+    PROCESSES with fixed per-process work. This decouples the weak-scaling
+    question from Spark entirely: if per-process wall time stays flat at
+    4x the concurrency, the host's memory subsystem sustains the Python
+    substrate at full width, and any Spark-level weak-scaling gap is
+    attributable to the multi-executor-JVM machinery sharing one host
+    (which a real cluster does not share — each node has its own JVM and
+    memory bus). Interleaved P=2,8,2 draws bracket host drift."""
+    import multiprocessing as mp
+
+    import duckdb
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.sql(
+            f"SELECT content FROM read_parquet('{corpus}/*.parquet') LIMIT 5000"
+        ).fetchall()
+    ]
+    res: dict[int, list[dict]] = {}
+    for p in (2, 8, 2):
+        with mp.Pool(p) as pool:
+            t0 = time.time()
+            outs = pool.map(_probe_worker, [(texts, 4)] * p)
+            wall = time.time() - t0
+        res.setdefault(p, []).append(
+            {"wall": round(wall, 2), "per_proc": [round(o, 2) for o in outs]}
+        )
+        print(p, res[p][-1], flush=True)
+    summary = {
+        "tokenize_concurrency_probe": {
+            "docs_per_proc": 5000,
+            "reps": 4,
+            "draws": {str(p): v for p, v in res.items()},
+            "wall_P2": min(r["wall"] for r in res[2]),
+            "wall_P8": min(r["wall"] for r in res[8]),
+            "weak_eff_P2_to_P8": round(
+                min(r["wall"] for r in res[2]) / min(r["wall"] for r in res[8]), 3
+            ),
+        }
+    }
+    print(json.dumps(summary))
+    if json_out:
+        merged = {}
+        if os.path.exists(json_out):
+            with open(json_out) as f:
+                merged = json.load(f)
+        merged.update(summary)
+        with open(json_out, "w") as f:
+            json.dump(merged, f, indent=1)
+
+
+def _probe_worker(args):
+    import pandas as pd
+
+    from dawnsearch_spark.functions.tokenizer import tokenize_pandas
+
+    texts, reps = args
+    s = pd.Series(texts)
+    t0 = time.time()
+    for _ in range(reps):
+        tokenize_pandas(s).str.len().sum()
+    return time.time() - t0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=160000)
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--run-one", action="store_true")
+    ap.add_argument("--weak", action="store_true")
+    ap.add_argument("--probe", action="store_true")
     ap.add_argument("--append-pass", action="store_true")
     ap.add_argument("--appends", type=int, default=4)
     ap.add_argument("--batch", type=int, default=10000)
@@ -214,6 +354,12 @@ def main() -> None:
         return
     if args.run_one:
         run_one(args.cores, args.corpus, args.docs)
+        return
+    if args.weak:
+        run_weak(args.docs, args.repeat, args.json_out)
+        return
+    if args.probe:
+        run_probe(args.corpus, args.json_out)
         return
 
     from dawnsearch_spark.corpus import generate_corpus
