@@ -209,6 +209,75 @@ SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT {k}
 """
 
 
+def _prefix_sql(prefix: str, k: int = 10, cap: int = 128) -> str:
+    """Prefix-rewrite oracle: expand against the SQL-side term dictionary
+    (df desc, term asc, capped), then OR-BM25 over the expansion with
+    corpus-wide per-term df — identical to the Spark rewrite."""
+    toks = _tok_sql("text")
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents
+),
+st AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+tfall AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tfall GROUP BY term),
+exp AS (
+  SELECT term, df FROM dfq WHERE term LIKE '{prefix}%'
+  ORDER BY df DESC, term LIMIT {cap}
+),
+sc AS (
+  SELECT tfall.doc_id,
+         sum( ln((st.n - exp.df + 0.5) / (exp.df + 0.5) + 1.0)
+              * tfall.tf * ({CFG.k1} + 1.0)
+              / (tfall.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.dl / st.avgdl)) ) AS s
+  FROM tfall JOIN exp USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfall.doc_id
+)
+SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
+def _near_sql(ta: str, tb: str, w: int, k: int = 10) -> str:
+    """Proximity oracle: positions recomputed per doc in SQL; prox_tf =
+    count of ``ta`` positions with a ``tb`` within ``w`` tokens, scored as
+    one synthetic BM25 term with df = matching docs."""
+    toks = _tok_sql("text")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS t FROM documents),
+dl AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM d),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(t) + 1), i -> t[i] = '{ta}') AS pa,
+         list_filter(range(1, len(t) + 1), i -> t[i] = '{tb}') AS pb
+  FROM d
+),
+pt AS (
+  SELECT doc_id,
+         len(list_filter(pa, i ->
+             len(list_filter(pb, j -> abs(i - j) <= {w})) > 0))::BIGINT AS prox_tf
+  FROM pos
+),
+mt AS (SELECT doc_id, prox_tf FROM pt WHERE prox_tf > 0),
+dfp AS (SELECT count(*)::DOUBLE AS dfp FROM mt),
+sc AS (
+  SELECT mt.doc_id, mt.prox_tf,
+         ln((st.n - dfp.dfp + 0.5) / (dfp.dfp + 0.5) + 1.0)
+         * mt.prox_tf * ({CFG.k1} + 1.0)
+         / (mt.prox_tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.dl / st.avgdl)) AS s
+  FROM mt JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN dfp
+)
+SELECT doc_id, prox_tf, round(s, 6) AS score
+FROM sc ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
 def _facet_sql(query_terms: list[str], facet_cols: list[str]) -> str:
     """OR-match facet counts: distinct match ids from the query terms'
     postings, then one count per (facet, value)."""
@@ -284,6 +353,8 @@ BOOL_MUST = ["dup", "merge"]
 BOOL_SHOULD = ["window", "filter"]
 BOOL_MUST_NOT = ["customer"]
 FACET_QUERY = "table scan query"
+PREFIX_QUERY = "s"
+NEAR_A, NEAR_B, NEAR_W = "hash", "scan", 3
 
 
 def q_phrase_topk(spark, sf_dir):
@@ -313,6 +384,47 @@ def q_bool_topk(spark, sf_dir):
         must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_MUST_NOT,
     )
     return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_prefix_topk(spark, sf_dir):
+    """Prefix-query BM25 top-10 (Lucene PrefixQuery rewrite: bounded
+    term-dictionary expansion, highest-df first, then pure-OR scoring)."""
+    from dawnsearch_spark.operators.boolquery import prefix_topk
+
+    docs = _docs(spark, sf_dir)
+    tf = term_frequencies(docs)
+    stats = corpus_stats(doc_lengths(docs))
+    dfs = document_frequencies(tf)
+    top = prefix_topk(tf, dfs, stats, PREFIX_QUERY, CFG)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_wand_prefix(spark, sf_dir):
+    """The SAME prefix query served from the segment index: expansion via
+    the driver-resident sorted term dictionary (binary-search slice),
+    scoring through the normal WAND path — must agree exactly with the
+    batch rewrite's oracle."""
+    from dawnsearch_spark.plans.query import Engine
+
+    root = _wand_index_root(spark, sf_dir)
+    hits = Engine(spark, root, _wand_cfg()).search_prefix(PREFIX_QUERY)
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits] or [], "doc_id long, score double"
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_near_topk(spark, sf_dir):
+    """Proximity NEAR/3 BM25 top-10: unordered within-window
+    co-occurrence scored as one synthetic term; the oracle recomputes
+    every position pair in SQL."""
+    from dawnsearch_spark.operators.boolquery import near_topk
+
+    docs = _docs(spark, sf_dir)
+    tf = term_frequencies(docs)
+    stats = corpus_stats(doc_lengths(docs))
+    top = near_topk(docs, tf, stats, NEAR_A, NEAR_B, NEAR_W, CFG)
+    return top.select("doc_id", "prox_tf", F.round("score", 6).alias("score"))
 
 
 def q_facet_counts(spark, sf_dir):
@@ -1587,6 +1699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": q_phrase_topk,
         "wand_phrase": q_wand_phrase,
         "bool_topk": q_bool_topk,
+        "prefix_topk": q_prefix_topk,
+        "wand_prefix": q_wand_prefix,
+        "near_topk": q_near_topk,
         "facet_counts": q_facet_counts,
         "bm25_topk_2": q_bm25_topk_2,
         "wand_topk_1": q_wand_topk_1,
@@ -1780,6 +1895,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": _phrase_sql(PHRASE_QUERY.split()),
         "wand_phrase": _phrase_sql(PHRASE_QUERY.split()),
         "bool_topk": _bool_sql(BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT),
+        "prefix_topk": _prefix_sql(PREFIX_QUERY),
+        "wand_prefix": _prefix_sql(PREFIX_QUERY),
+        "near_topk": _near_sql(NEAR_A, NEAR_B, NEAR_W),
         "facet_counts": _facet_sql(FACET_QUERY.split(), ["lang", "source"]),
         "bm25_topk_2": _bm25_sql(BM25_QUERY_2.split()),
         # the WAND index path answers against the SAME exact-BM25 oracle:

@@ -324,6 +324,42 @@ def main() -> None:
 
         timed("hydrated_search", lambda: engine.search_df("parse http request").collect())
 
+        # phrase serving (round 6): phrases sampled from real documents
+        # (first two tokens), so every query exercises candidate
+        # intersection + adjacency + scoring on the zero-job driver path
+        from dawnsearch_spark.functions.tokenizer import tokenize_py as _tok_py
+
+        sample = (
+            engine.documents()
+            .select("doc_id", "content")
+            .orderBy("doc_id")
+            .limit(5)
+            .collect()
+        )
+        phrases = []
+        for r in sample:
+            tk = _tok_py(r["content"])
+            if len(tk) >= 2:
+                phrases.append(f"{tk[0]} {tk[1]}")
+        phrase_ctr: dict = {}
+        t0 = time.time()
+        for p in phrases:
+            c: dict = {}
+            engine.search_phrase(p, counters=c)
+            phrase_ctr.setdefault("paths", {})
+            phrase_ctr["paths"][c.get("path")] = (
+                phrase_ctr["paths"].get(c.get("path"), 0) + 1
+            )
+            phrase_ctr["candidates"] = phrase_ctr.get("candidates", 0) + int(
+                c.get("candidates") or 0
+            )
+            phrase_ctr["phrase_df"] = phrase_ctr.get("phrase_df", 0) + int(
+                c.get("phrase_df") or 0
+            )
+        if phrases:
+            timings["phrase_serve_avg"] = round((time.time() - t0) / len(phrases), 3)
+        extras["phrase_counters"] = phrase_ctr
+
         # ---- append + compaction pass (VERDICT r4 #4): tiered
         # generations at bench scale. 3 appends of 5% each onto the
         # full index with max_segment_generations=3 so the LAST append
@@ -441,6 +477,9 @@ def main() -> None:
         "events_daily",
         "window_rank",
         "topk_orders",
+        "phrase_topk",
+        "bool_topk",
+        "facet_counts",
         "text_features",
         "quality_filter",
         "fingerprints",

@@ -217,6 +217,126 @@ def boolean_topk(
     return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def prefix_topk(
+    tf: DataFrame,
+    term_stats: DataFrame,
+    stats: CorpusStats,
+    prefix: str,
+    cfg: EngineConfig,
+    k: int | None = None,
+    max_expansion: int = 128,
+) -> DataFrame:
+    """Prefix (wildcard ``pre*``) BM25 top-k: (doc_id, score).
+
+    Lucene PrefixQuery rewrite: the prefix expands against the term
+    dictionary into at most ``max_expansion`` concrete terms (highest-df
+    first, term as tie-break — the deterministic analog of Lucene's
+    rewrite cap), then scores as a pure-OR boolean query with qtf=1 per
+    expanded term. The expansion collect is bounded metadata (<= cap
+    rows), never postings.
+    """
+    pre = tokenize_py(prefix)
+    if len(pre) != 1:
+        return tf.sparkSession.createDataFrame([], "doc_id long, score double")
+    exp = [
+        r["term"]
+        for r in term_stats.filter(F.col("term").startswith(pre[0]))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansion)
+        .collect()
+    ]
+    if not exp:
+        return tf.sparkSession.createDataFrame([], "doc_id long, score double")
+    return boolean_topk(tf, term_stats, stats, cfg, should=exp, k=k)
+
+
+def near_topk(
+    docs: DataFrame,
+    tf: DataFrame,
+    stats: CorpusStats,
+    term_a: str,
+    term_b: str,
+    window: int,
+    cfg: EngineConfig,
+    k: int | None = None,
+    content_col: str = "content",
+) -> DataFrame:
+    """Proximity (NEAR/n) BM25 top-k: (doc_id, prox_tf, score).
+
+    Matches docs where ``term_a`` occurs within ``window`` token positions
+    of ``term_b`` (unordered). prox_tf = number of term_a positions with a
+    term_b neighbor in range; the pair scores as one synthetic BM25 term
+    (tf = prox_tf, df = matching docs) — the same sloppy-phrase shape as
+    :func:`phrase_topk`, and the same scale plan: postings intersection
+    prunes candidates, only candidate rows are re-tokenized.
+    """
+    k = k or cfg.top_k
+    ta = tokenize_py(term_a)
+    tb = tokenize_py(term_b)
+    if len(ta) != 1 or len(tb) != 1:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, prox_tf long, score double"
+        )
+    ta, tb = ta[0], tb[0]
+    cand = (
+        tf.filter(F.col("term").isin([ta, tb]))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .filter(F.col("_nt") == 2)
+        .select("doc_id")
+    )
+    cand_docs = docs.select("doc_id", content_col).join(F.broadcast(cand), "doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = tokenize_pandas(pdf[content_col])
+            prox = np.empty(len(toks), np.int64)
+            for i, t in enumerate(toks):
+                arr = np.asarray(t, dtype=object)
+                pa = np.flatnonzero(arr == ta)
+                pb = np.flatnonzero(arr == tb)
+                if not len(pa) or not len(pb):
+                    prox[i] = 0
+                    continue
+                # nearest term_b neighbor per term_a position (sorted merge)
+                j = np.searchsorted(pb, pa)
+                left = np.where(j > 0, pa - pb[np.maximum(j - 1, 0)], np.iinfo(np.int64).max)
+                right = np.where(
+                    j < len(pb), pb[np.minimum(j, len(pb) - 1)] - pa, np.iinfo(np.int64).max
+                )
+                prox[i] = int((np.minimum(left, right) <= window).sum())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64),
+                    "dl": toks.str.len().fillna(0).to_numpy(np.int64),
+                    "prox_tf": prox,
+                }
+            )
+
+    matched = cand_docs.mapInPandas(
+        gen, "doc_id long, dl long, prox_tf long"
+    ).filter(F.col("prox_tf") > 0)
+    dfp = matched.agg(F.count(F.lit(1)).cast("double").alias("_dfp"))
+    scored = matched.crossJoin(F.broadcast(dfp)).withColumn(
+        "score",
+        bm25_col(
+            F.col("prox_tf"),
+            F.col("dl"),
+            idf_col(F.col("_dfp"), float(stats.n_docs)),
+            stats.avgdl,
+            cfg.k1,
+            cfg.b,
+        ),
+    )
+    return (
+        scored.select("doc_id", "prox_tf", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def facet_counts(
     docs: DataFrame,
     tf: DataFrame,

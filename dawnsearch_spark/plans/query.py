@@ -92,6 +92,24 @@ class TermMeta:
             for j in range(s, e)
         ]
 
+    def prefix_terms(self, prefix: str, cap: int) -> list[str]:
+        """Expand a prefix against the sorted term dictionary: one binary
+        search pair bounds the matching slice (this is exactly what a
+        sorted term dictionary exists for — Lucene's TermsEnum.seekCeil),
+        then the cap keeps the highest-df terms (term as tie-break)."""
+        import numpy as np
+
+        lo = int(np.searchsorted(self._terms, prefix))
+        hi = int(np.searchsorted(self._terms, prefix + "￿"))
+        scored = [
+            (
+                -int(self._n_docs[self._starts[i] : self._starts[i + 1]].sum()),
+                str(self._terms[i]),
+            )
+            for i in range(lo, hi)
+        ]
+        return [t for _, t in sorted(scored)[:cap]]
+
     def columns(self) -> dict:
         """Per-row column arrays (term repeated per row) — the raw
         material for an INCREMENTAL rebuild: new generations' rows are
@@ -347,6 +365,33 @@ class Engine:
             tombstones=self._tombstones,
             documents=self._documents,
         )
+
+    def search_prefix(
+        self, prefix: str, k: int | None = None, max_expansion: int = 128
+    ) -> list[tuple[int, float]]:
+        """Prefix (``pre*``) top-k: expand against the term dictionary
+        (driver binary search when the dictionary is resident, a pruned
+        scan of the terms relation otherwise — bounded metadata either
+        way, never postings), then score the expansion as a plain OR
+        query through the normal WAND path."""
+        pre = tokenize_py(prefix)
+        if len(pre) != 1:
+            return []
+        pre_t = pre[0]
+        if self._meta_by_term is not None:
+            exp = self._meta_by_term.prefix_terms(pre_t, max_expansion)
+        else:
+            exp = [
+                r["term"]
+                for r in self.spark.read.parquet(self.paths.terms)
+                .filter(F.col("term").startswith(pre_t))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(max_expansion)
+                .collect()
+            ]
+        if not exp:
+            return []
+        return self.search({t: 1 for t in exp}, k=k)
 
     def delete(self, doc_ids=None, keys=None) -> dict:
         """Tombstone-delete documents and re-sync this Engine — deleted

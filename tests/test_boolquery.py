@@ -117,6 +117,47 @@ def test_boolean_matches_exact_oracle_on_or(spark, tiny):
     assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
 
 
+def test_prefix_topk(spark, tiny):
+    from dawnsearch_spark.operators.boolquery import prefix_topk
+    from dawnsearch_spark.operators.oracle import bm25_exact_topk
+
+    tf = term_frequencies(tiny)
+    stats = corpus_stats(doc_lengths(tiny))
+    dfs = document_frequencies(tf)
+    # "a" expands to exactly {alpha}: must equal the single-term exact scorer
+    a = prefix_topk(tf, dfs, stats, "a", CFG).collect()
+    b = bm25_exact_topk(tf, dfs, stats, "alpha", CFG).collect()
+    assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+    # cap=1 on a multi-term expansion keeps only the highest-df term
+    # (beta df=4 > gamma df=3 ... both start differently; use two-term
+    # prefix family: terms starting with "" is invalid, so check "d"/"e")
+    assert {r.doc_id for r in prefix_topk(tf, dfs, stats, "e", CFG).collect()} == {4}
+    # no match / invalid prefixes -> empty with stable schema
+    assert prefix_topk(tf, dfs, stats, "zz", CFG).count() == 0
+    assert prefix_topk(tf, dfs, stats, "", CFG).count() == 0
+    assert prefix_topk(tf, dfs, stats, "a b", CFG).count() == 0
+
+
+def test_near_topk(spark, tiny):
+    from dawnsearch_spark.operators.boolquery import near_topk
+
+    tf = term_frequencies(tiny)
+    stats = corpus_stats(doc_lengths(tiny))
+    # alpha/gamma positions: doc0 a=[0,3] g=[2]; doc1 a=[1] g=[3];
+    # doc2 a=[0] g=[1]; doc3 no gamma; doc4 no alpha
+    w1 = {r.doc_id: r.prox_tf for r in near_topk(
+        tiny, tf, stats, "alpha", "gamma", 1, CFG).collect()}
+    assert w1 == {0: 1, 2: 1}
+    w2 = {r.doc_id: r.prox_tf for r in near_topk(
+        tiny, tf, stats, "alpha", "gamma", 2, CFG).collect()}
+    assert w2 == {0: 2, 1: 1, 2: 1}
+    # window large enough -> prox_tf == full term_a tf in co-occurring docs
+    w9 = {r.doc_id: r.prox_tf for r in near_topk(
+        tiny, tf, stats, "alpha", "gamma", 9, CFG).collect()}
+    assert w9 == {0: 2, 1: 1, 2: 1}
+    assert near_topk(tiny, tf, stats, "alpha", "nosuch", 3, CFG).count() == 0
+
+
 def test_facet_counts(spark, tiny):
     tf = term_frequencies(tiny)
     out = facet_counts(tiny, tf, "delta epsilon", ["lang", "source"]).collect()

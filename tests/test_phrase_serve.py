@@ -80,6 +80,34 @@ def test_absent_term_short_circuits(spark, phrase_index, cfg):
     assert ctr["path"] == "missing_term"
 
 
+def test_engine_prefix_matches_batch(spark, small_corpus, phrase_index, cfg):
+    """Index-served prefix query (term-dictionary expansion + WAND) must
+    equal the batch PrefixQuery rewrite. Runs BEFORE the tombstone test —
+    the fixture index must still be delete-free here."""
+    from dawnsearch_spark.functions.tokenizer import tokenize_py
+    from dawnsearch_spark.operators.boolquery import prefix_topk
+    from dawnsearch_spark.operators.tf import document_frequencies
+
+    row = small_corpus.orderBy("doc_id").limit(1).collect()[0]
+    pre = tokenize_py(row["content"])[0][:2]
+    e = Engine(spark, phrase_index, cfg)
+    hits = e.search_prefix(pre)
+    assert hits, "prefix taken from a real token must match"
+    tf = term_frequencies(small_corpus)
+    stats = corpus_stats(doc_lengths(small_corpus))
+    dfs = document_frequencies(tf)
+    want = prefix_topk(tf, dfs, stats, pre, cfg).collect()
+    assert [(d, round(s, 9)) for d, s in hits] == [
+        (r.doc_id, round(r.score, 9)) for r in want
+    ]
+    # dictionary-absent fallback reads the terms relation: same answer
+    e2 = Engine(
+        spark, phrase_index,
+        __import__("dataclasses").replace(cfg, max_driver_meta_rows=0),
+    )
+    assert e2.search_prefix(pre) == hits
+
+
 def test_engine_method_and_tombstones(spark, phrase_index, cfg, a_phrase, small_corpus):
     e = Engine(spark, phrase_index, cfg)
     hits = e.search_phrase(a_phrase)
