@@ -243,6 +243,39 @@ SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT {k}
 """
 
 
+def _fuzzy_sql(q: str, k: int = 10, max_edits: int = 1, cap: int = 50) -> str:
+    """Fuzzy-rewrite oracle: Levenshtein expansion (distance asc, df desc,
+    term asc, capped) then OR-BM25 — identical to the Spark rewrite."""
+    toks = _tok_sql("text")
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents
+),
+st AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+tfall AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tfall GROUP BY term),
+exp AS (
+  SELECT term, df FROM dfq WHERE levenshtein(term, '{q}') <= {max_edits}
+  ORDER BY levenshtein(term, '{q}') ASC, df DESC, term LIMIT {cap}
+),
+sc AS (
+  SELECT tfall.doc_id,
+         sum( ln((st.n - exp.df + 0.5) / (exp.df + 0.5) + 1.0)
+              * tfall.tf * ({CFG.k1} + 1.0)
+              / (tfall.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.dl / st.avgdl)) ) AS s
+  FROM tfall JOIN exp USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfall.doc_id
+)
+SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
 def _near_sql(ta: str, tb: str, w: int, k: int = 10) -> str:
     """Proximity oracle: positions recomputed per doc in SQL; prox_tf =
     count of ``ta`` positions with a ``tb`` within ``w`` tokens, scored as
@@ -355,6 +388,7 @@ BOOL_MUST_NOT = ["customer"]
 FACET_QUERY = "table scan query"
 PREFIX_QUERY = "s"
 NEAR_A, NEAR_B, NEAR_W = "hash", "scan", 3
+FUZZY_QUERY = "aig"  # 1 edit from both "agg" and "big": multi-term expansion
 
 
 def q_phrase_topk(spark, sf_dir):
@@ -408,6 +442,34 @@ def q_wand_prefix(spark, sf_dir):
 
     root = _wand_index_root(spark, sf_dir)
     hits = Engine(spark, root, _wand_cfg()).search_prefix(PREFIX_QUERY)
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits] or [], "doc_id long, score double"
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_fuzzy_topk(spark, sf_dir):
+    """Fuzzy-term BM25 top-10 (Lucene FuzzyQuery shape): Levenshtein
+    expansion against the term dictionary, then pure-OR scoring. The
+    query misspelling expands to MULTIPLE terms (agg, big) so the oracle
+    checks expansion ordering, not just a single rewrite."""
+    from dawnsearch_spark.operators.boolquery import fuzzy_topk
+
+    docs = _docs(spark, sf_dir)
+    tf = term_frequencies(docs)
+    stats = corpus_stats(doc_lengths(docs))
+    dfs = document_frequencies(tf)
+    top = fuzzy_topk(tf, dfs, stats, FUZZY_QUERY, CFG)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_wand_fuzzy(spark, sf_dir):
+    """The SAME fuzzy query served from the segment index (terms-relation
+    expansion + WAND) — must agree exactly with the batch rewrite."""
+    from dawnsearch_spark.plans.query import Engine
+
+    root = _wand_index_root(spark, sf_dir)
+    hits = Engine(spark, root, _wand_cfg()).search_fuzzy(FUZZY_QUERY)
     out = spark.createDataFrame(
         [(int(d), float(s)) for d, s in hits] or [], "doc_id long, score double"
     )
@@ -1702,6 +1764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk": q_prefix_topk,
         "wand_prefix": q_wand_prefix,
         "near_topk": q_near_topk,
+        "fuzzy_topk": q_fuzzy_topk,
+        "wand_fuzzy": q_wand_fuzzy,
         "facet_counts": q_facet_counts,
         "bm25_topk_2": q_bm25_topk_2,
         "wand_topk_1": q_wand_topk_1,
@@ -1898,6 +1962,8 @@ def oracle_sql() -> dict[str, str]:
         "prefix_topk": _prefix_sql(PREFIX_QUERY),
         "wand_prefix": _prefix_sql(PREFIX_QUERY),
         "near_topk": _near_sql(NEAR_A, NEAR_B, NEAR_W),
+        "fuzzy_topk": _fuzzy_sql(FUZZY_QUERY),
+        "wand_fuzzy": _fuzzy_sql(FUZZY_QUERY),
         "facet_counts": _facet_sql(FACET_QUERY.split(), ["lang", "source"]),
         "bm25_topk_2": _bm25_sql(BM25_QUERY_2.split()),
         # the WAND index path answers against the SAME exact-BM25 oracle:

@@ -250,6 +250,40 @@ def prefix_topk(
     return boolean_topk(tf, term_stats, stats, cfg, should=exp, k=k)
 
 
+def fuzzy_topk(
+    tf: DataFrame,
+    term_stats: DataFrame,
+    stats: CorpusStats,
+    term: str,
+    cfg: EngineConfig,
+    k: int | None = None,
+    max_edits: int = 1,
+    max_expansion: int = 50,
+) -> DataFrame:
+    """Fuzzy-term BM25 top-k (Lucene FuzzyQuery shape): expand the query
+    term to every dictionary term within ``max_edits`` Levenshtein edits
+    (JVM-side ``F.levenshtein`` over the terms relation — a metadata scan,
+    never postings; Lucene walks an FST automaton for the same set), cap
+    deterministically (distance asc, df desc, term asc), then score the
+    expansion as a pure-OR boolean query."""
+    q = tokenize_py(term)
+    if len(q) != 1:
+        return tf.sparkSession.createDataFrame([], "doc_id long, score double")
+    exp = [
+        r["term"]
+        for r in term_stats.withColumn(
+            "_d", F.levenshtein(F.col("term"), F.lit(q[0]))
+        )
+        .filter(F.col("_d") <= max_edits)
+        .orderBy(F.asc("_d"), F.desc("df"), F.asc("term"))
+        .limit(max_expansion)
+        .collect()
+    ]
+    if not exp:
+        return tf.sparkSession.createDataFrame([], "doc_id long, score double")
+    return boolean_topk(tf, term_stats, stats, cfg, should=exp, k=k)
+
+
 def near_topk(
     docs: DataFrame,
     tf: DataFrame,

@@ -393,6 +393,33 @@ class Engine:
             return []
         return self.search({t: 1 for t in exp}, k=k)
 
+    def search_fuzzy(
+        self,
+        term: str,
+        k: int | None = None,
+        max_edits: int = 1,
+        max_expansion: int = 50,
+    ) -> list[tuple[int, float]]:
+        """Fuzzy-term top-k: expand against the terms relation with
+        ``F.levenshtein`` (one bounded metadata job — the dictionary, not
+        postings), then score the expansion through the normal WAND
+        path."""
+        q = tokenize_py(term)
+        if len(q) != 1:
+            return []
+        exp = [
+            r["term"]
+            for r in self.spark.read.parquet(self.paths.terms)
+            .withColumn("_d", F.levenshtein(F.col("term"), F.lit(q[0])))
+            .filter(F.col("_d") <= max_edits)
+            .orderBy(F.asc("_d"), F.desc("df"), F.asc("term"))
+            .limit(max_expansion)
+            .collect()
+        ]
+        if not exp:
+            return []
+        return self.search({t: 1 for t in exp}, k=k)
+
     def delete(self, doc_ids=None, keys=None) -> dict:
         """Tombstone-delete documents and re-sync this Engine — deleted
         docs vanish from every subsequent search immediately; stats stay

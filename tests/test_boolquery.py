@@ -158,6 +158,29 @@ def test_near_topk(spark, tiny):
     assert near_topk(tiny, tf, stats, "alpha", "nosuch", 3, CFG).count() == 0
 
 
+def test_fuzzy_topk(spark, tiny):
+    from dawnsearch_spark.operators.boolquery import boolean_topk, fuzzy_topk
+
+    tf = term_frequencies(tiny)
+    stats = corpus_stats(doc_lengths(tiny))
+    dfs = document_frequencies(tf)
+    # "deta" is 1 edit from BOTH beta and delta -> OR over the pair
+    a = fuzzy_topk(tf, dfs, stats, "deta", CFG).collect()
+    b = boolean_topk(tf, dfs, stats, CFG, should=["beta", "delta"]).collect()
+    assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+    # exact term included at distance 0
+    e = fuzzy_topk(tf, dfs, stats, "epsilon", CFG).collect()
+    assert {r.doc_id for r in e} == {4}
+    # nothing within 1 edit -> empty
+    assert fuzzy_topk(tf, dfs, stats, "zzzzzzzz", CFG).count() == 0
+    # expansion cap keeps the closest term first (distance 0 beats 1)
+    capped = fuzzy_topk(tf, dfs, stats, "beta", CFG, max_expansion=1).collect()
+    only_beta = boolean_topk(tf, dfs, stats, CFG, should=["beta"]).collect()
+    assert [(r.doc_id, r.score) for r in capped] == [
+        (r.doc_id, r.score) for r in only_beta
+    ]
+
+
 def test_facet_counts(spark, tiny):
     tf = term_frequencies(tiny)
     out = facet_counts(tiny, tf, "delta epsilon", ["lang", "source"]).collect()
