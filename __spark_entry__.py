@@ -276,6 +276,42 @@ SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT {k}
 """
 
 
+def _explain_sql(query_terms: list[str]) -> str:
+    """Explain oracle: re-derives the top-1 doc and every per-term BM25
+    component (tf, dl, df, idf, tscore) plus the doc total in SQL."""
+    terms_in = ", ".join(f"'{t}'" for t in query_terms)
+    toks = _tok_sql("text")
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents
+),
+st AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  WHERE term IN ({terms_in})
+  GROUP BY doc_id, term
+),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+parts AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl, dfq.df,
+         ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) AS idf,
+         ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         * tf.tf * ({CFG.k1} + 1.0)
+         / (tf.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.dl / st.avgdl)) AS tscore
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+),
+sc AS (SELECT doc_id, sum(tscore) AS s FROM parts GROUP BY doc_id),
+top1 AS (SELECT doc_id, s FROM sc ORDER BY s DESC, doc_id LIMIT 1)
+SELECT p.doc_id, p.term, p.tf::BIGINT AS tf, p.dl::BIGINT AS dl,
+       p.df::BIGINT AS df, round(p.idf, 6) AS idf,
+       round(p.tscore, 6) AS tscore, round(top1.s, 6) AS total
+FROM parts p JOIN top1 USING (doc_id)
+"""
+
+
 def _near_sql(ta: str, tb: str, w: int, k: int = 10) -> str:
     """Proximity oracle: positions recomputed per doc in SQL; prox_tf =
     count of ``ta`` positions with a ``tb`` within ``w`` tokens, scored as
@@ -474,6 +510,45 @@ def q_wand_fuzzy(spark, sf_dir):
         [(int(d), float(s)) for d, s in hits] or [], "doc_id long, score double"
     )
     return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_wand_explain(spark, sf_dir):
+    """Lucene-style explain served from the index: per-term (tf, df, idf,
+    tscore) breakdown rows for the TOP-1 doc of the flagship query, via
+    block-directory point lookups (operators/explain.py). The oracle
+    re-derives the top-1 doc AND every component in SQL, and the row
+    total must equal the served search score exactly."""
+    from dawnsearch_spark.operators.explain import explain_doc
+    from dawnsearch_spark.operators.wand import search_index
+
+    root = _wand_index_root(spark, sf_dir)
+    hits = search_index(spark, root, BM25_QUERY_1, _wand_cfg())
+    top_doc = hits[0][0]
+    exp = explain_doc(spark, root, BM25_QUERY_1, top_doc, _wand_cfg())
+    rows = [
+        (
+            int(exp["doc_id"]),
+            m["term"],
+            int(m["tf"]),
+            int(m["dl"]),
+            int(m["df"]),
+            float(m["idf"]),
+            float(m["tscore"]),
+            float(exp["score"]),
+        )
+        for m in exp["matched"]
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "doc_id long, term string, tf long, dl long, df long, "
+        "idf double, tscore double, total double",
+    )
+    return out.select(
+        "doc_id", "term", "tf", "dl", "df",
+        F.round("idf", 6).alias("idf"),
+        F.round("tscore", 6).alias("tscore"),
+        F.round("total", 6).alias("total"),
+    )
 
 
 def q_near_topk(spark, sf_dir):
@@ -1766,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_topk": q_near_topk,
         "fuzzy_topk": q_fuzzy_topk,
         "wand_fuzzy": q_wand_fuzzy,
+        "wand_explain": q_wand_explain,
         "facet_counts": q_facet_counts,
         "bm25_topk_2": q_bm25_topk_2,
         "wand_topk_1": q_wand_topk_1,
@@ -1964,6 +2040,7 @@ def oracle_sql() -> dict[str, str]:
         "near_topk": _near_sql(NEAR_A, NEAR_B, NEAR_W),
         "fuzzy_topk": _fuzzy_sql(FUZZY_QUERY),
         "wand_fuzzy": _fuzzy_sql(FUZZY_QUERY),
+        "wand_explain": _explain_sql(BM25_QUERY_1.split()),
         "facet_counts": _facet_sql(FACET_QUERY.split(), ["lang", "source"]),
         "bm25_topk_2": _bm25_sql(BM25_QUERY_2.split()),
         # the WAND index path answers against the SAME exact-BM25 oracle:

@@ -420,6 +420,23 @@ class Engine:
             return []
         return self.search({t: 1 for t in exp}, k=k)
 
+    def explain(self, query: str | dict[str, int], doc_id: int) -> dict:
+        """Lucene-style per-term score breakdown for one (query, doc):
+        block-directory point lookups, no scan — the reported total is
+        bit-identical to the score :meth:`search` gives this doc."""
+        from dawnsearch_spark.operators.explain import explain_doc
+
+        return explain_doc(
+            self.spark,
+            self.paths.root,
+            query,
+            doc_id,
+            self.cfg,
+            seg_df=self._segments,
+            stats=self.stats_,
+            tombstones=self._tombstones,
+        )
+
     def delete(self, doc_ids=None, keys=None) -> dict:
         """Tombstone-delete documents and re-sync this Engine — deleted
         docs vanish from every subsequent search immediately; stats stay

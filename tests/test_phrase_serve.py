@@ -108,6 +108,33 @@ def test_engine_prefix_matches_batch(spark, small_corpus, phrase_index, cfg):
     assert e2.search_prefix(pre) == hits
 
 
+def test_explain_matches_search_score(spark, small_corpus, phrase_index, cfg):
+    """explain() totals must be bit-identical to the scores search()
+    returns (same ascending-term fold), including duplicate query terms
+    (qtf > 1), and missing terms must be reported."""
+    from dawnsearch_spark.functions.tokenizer import tokenize_py
+
+    e = Engine(spark, phrase_index, cfg)
+    row = small_corpus.orderBy("doc_id").limit(1).collect()[0]
+    t = tokenize_py(row["content"])[0]
+    q = f"{t} {t} zzznope"  # qtf=2 + an absent term
+    hits = e.search(q)
+    assert hits
+    for doc_id, score in hits[:3]:
+        exp = e.explain(q, doc_id)
+        assert exp["score"] == score, f"doc {doc_id}: {exp['score']} != {score}"
+        assert [m["term"] for m in exp["matched"]] == sorted(set([t]))
+        assert exp["matched"][0]["qtf"] == 2
+        assert "zzznope" in exp["missing"]
+    # a doc with no query term explains to zero
+    all_ids = {d for d, _ in hits}
+    other = next(
+        i for i in range(400) if i not in all_ids
+        and not e.explain(q, i)["matched"]
+    )
+    assert e.explain(q, other)["score"] == 0.0
+
+
 def test_engine_method_and_tombstones(spark, phrase_index, cfg, a_phrase, small_corpus):
     e = Engine(spark, phrase_index, cfg)
     hits = e.search_phrase(a_phrase)
