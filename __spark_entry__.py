@@ -564,6 +564,35 @@ def q_near_topk(spark, sf_dir):
     return top.select("doc_id", "prox_tf", F.round("score", 6).alias("score"))
 
 
+def q_wand_near(spark, sf_dir):
+    """The NEAR/3 proximity query served FROM the segment index
+    (generalized positional serving plan, phrase_serve.py) — must agree
+    exactly with the batch operator's positional SQL oracle."""
+    from dawnsearch_spark.operators.phrase_serve import search_near_index
+
+    root = _wand_index_root(spark, sf_dir)
+    hits = search_near_index(spark, root, NEAR_A, NEAR_B, NEAR_W, _wand_cfg())
+    out = spark.createDataFrame(
+        [(int(d), int(p), float(s)) for d, p, s in hits] or [],
+        "doc_id long, prox_tf long, score double",
+    )
+    return out.select("doc_id", "prox_tf", F.round("score", 6).alias("score"))
+
+
+def q_match_count(spark, sf_dir):
+    """Total-hit counts from postings only (Lucene TotalHitCountCollector
+    analog): OR and AND cardinalities of the flagship query, zero content
+    reads. The oracle recomputes both counts from tokenized text."""
+    from dawnsearch_spark.operators.phrase_serve import count_matches_index
+
+    root = _wand_index_root(spark, sf_dir)
+    n_or = count_matches_index(spark, root, BM25_QUERY_1, _wand_cfg(), mode="or")
+    n_and = count_matches_index(spark, root, BM25_QUERY_1, _wand_cfg(), mode="and")
+    return spark.createDataFrame(
+        [(int(n_or), int(n_and))], "n_or long, n_and long"
+    )
+
+
 def q_facet_counts(spark, sf_dir):
     """Facet aggregation over the full OR-match set (lang + source),
     single shuffle for any number of facet columns."""
@@ -1839,6 +1868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk": q_prefix_topk,
         "wand_prefix": q_wand_prefix,
         "near_topk": q_near_topk,
+        "wand_near": q_wand_near,
+        "match_count": q_match_count,
         "fuzzy_topk": q_fuzzy_topk,
         "wand_fuzzy": q_wand_fuzzy,
         "wand_explain": q_wand_explain,
@@ -2038,6 +2069,19 @@ def oracle_sql() -> dict[str, str]:
         "prefix_topk": _prefix_sql(PREFIX_QUERY),
         "wand_prefix": _prefix_sql(PREFIX_QUERY),
         "near_topk": _near_sql(NEAR_A, NEAR_B, NEAR_W),
+        "wand_near": _near_sql(NEAR_A, NEAR_B, NEAR_W),
+        "match_count": f"""
+            WITH tf AS (
+              SELECT doc_id, term
+              FROM (SELECT doc_id, unnest({_tok_sql("text")}) AS term FROM documents)
+              WHERE term IN ({", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_1.split())))})
+              GROUP BY doc_id, term)
+            SELECT count(DISTINCT doc_id)::BIGINT AS n_or,
+                   (SELECT count(*) FROM (
+                      SELECT doc_id FROM tf GROUP BY doc_id
+                      HAVING count(*) = {len(set(BM25_QUERY_1.split()))}))::BIGINT AS n_and
+            FROM tf
+        """,
         "fuzzy_topk": _fuzzy_sql(FUZZY_QUERY),
         "wand_fuzzy": _fuzzy_sql(FUZZY_QUERY),
         "wand_explain": _explain_sql(BM25_QUERY_1.split()),

@@ -49,6 +49,20 @@ from dawnsearch_spark.functions.tokenizer import tokenize_pandas, tokenize_py
 from dawnsearch_spark.operators.tf import CorpusStats
 
 
+def _near_hits(tokens: np.ndarray, ta: str, tb: str, window: int) -> int:
+    """Number of ``ta`` positions with a ``tb`` within ``window`` tokens
+    (unordered) — sorted-merge nearest-neighbor, no quadratic pair scan."""
+    pa = np.flatnonzero(tokens == ta)
+    pb = np.flatnonzero(tokens == tb)
+    if not len(pa) or not len(pb):
+        return 0
+    j = np.searchsorted(pb, pa)
+    big = np.iinfo(np.int64).max
+    left = np.where(j > 0, pa - pb[np.maximum(j - 1, 0)], big)
+    right = np.where(j < len(pb), pb[np.minimum(j, len(pb) - 1)] - pa, big)
+    return int((np.minimum(left, right) <= window).sum())
+
+
 def _phrase_hits(tokens: np.ndarray, terms: list[str]) -> int:
     """Number of positions where ``terms`` occurs contiguously in
     ``tokens`` — vectorized shift-AND (one boolean array op per phrase
@@ -326,21 +340,14 @@ def near_topk(
             if not len(pdf):
                 continue
             toks = tokenize_pandas(pdf[content_col])
-            prox = np.empty(len(toks), np.int64)
-            for i, t in enumerate(toks):
-                arr = np.asarray(t, dtype=object)
-                pa = np.flatnonzero(arr == ta)
-                pb = np.flatnonzero(arr == tb)
-                if not len(pa) or not len(pb):
-                    prox[i] = 0
-                    continue
-                # nearest term_b neighbor per term_a position (sorted merge)
-                j = np.searchsorted(pb, pa)
-                left = np.where(j > 0, pa - pb[np.maximum(j - 1, 0)], np.iinfo(np.int64).max)
-                right = np.where(
-                    j < len(pb), pb[np.minimum(j, len(pb) - 1)] - pa, np.iinfo(np.int64).max
-                )
-                prox[i] = int((np.minimum(left, right) <= window).sum())
+            prox = np.fromiter(
+                (
+                    _near_hits(np.asarray(t, dtype=object), ta, tb, window)
+                    for t in toks
+                ),
+                dtype=np.int64,
+                count=len(toks),
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(np.int64),

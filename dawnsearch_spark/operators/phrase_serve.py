@@ -67,13 +67,7 @@ def search_phrase_index(
     index_root: str,
     phrase: str,
     cfg: EngineConfig,
-    k: int | None = None,
-    seg_df: DataFrame | None = None,
-    stats=None,
-    counters: dict | None = None,
-    meta_by_term=None,
-    tombstones: np.ndarray | None = None,
-    documents: DataFrame | None = None,
+    **kw,
 ) -> list[tuple[int, int, float]]:
     """Exact-phrase top-k from the index: [(doc_id, phrase_tf, score)].
 
@@ -86,12 +80,170 @@ def search_phrase_index(
     postings decode in ``mapInPandas`` (shuffle = query-term postings
     only) and adjacency runs over an id-pruned document scan.
     """
+    terms = tokenize_py(phrase)
+    if not terms:
+        return []
+    return positional_search_index(
+        spark, index_root, terms,
+        lambda arr: _phrase_hits(arr, terms), cfg, **kw,
+    )
+
+
+def search_near_index(
+    spark: SparkSession,
+    index_root: str,
+    term_a: str,
+    term_b: str,
+    window: int,
+    cfg: EngineConfig,
+    **kw,
+) -> list[tuple[int, int, float]]:
+    """NEAR/n proximity top-k from the index: [(doc_id, prox_tf, score)].
+    Same candidate/verification/scoring plan as phrase serving — only the
+    per-doc position matcher differs (unordered within-window count)."""
+    from dawnsearch_spark.operators.boolquery import _near_hits
+
+    ta = tokenize_py(term_a)
+    tb = tokenize_py(term_b)
+    if len(ta) != 1 or len(tb) != 1:
+        return []
+    a, b = ta[0], tb[0]
+    return positional_search_index(
+        spark, index_root, [a, b],
+        lambda arr: _near_hits(arr, a, b, window), cfg, **kw,
+    )
+
+
+def count_matches_index(
+    spark: SparkSession,
+    index_root: str,
+    query: str,
+    cfg: EngineConfig,
+    mode: str = "or",
+    seg_df: DataFrame | None = None,
+    counters: dict | None = None,
+    tombstones: np.ndarray | None = None,
+) -> int:
+    """Total-hit count from postings only (Lucene TotalHitCountCollector):
+    how many live docs match the query under OR or AND semantics. No
+    content is read and nothing scores — doc_ids decode on the driver
+    when the query terms' postings fit the budget (zero Spark jobs),
+    union/intersection by sorted-array merges; above the budget the
+    count runs distributed over the pruned posting rows."""
+    assert mode in ("or", "and")
+    ctr = counters if counters is not None else {}
+    paths = IndexPaths(index_root)
+    terms = sorted(set(tokenize_py(query)))
+    if not terms:
+        return 0
+    if tombstones is not None and not len(tombstones):
+        tombstones = None
+
+    from dawnsearch_spark.manifest import read_manifest
+    from dawnsearch_spark.operators.segment_reader import read_segment_rows
+
+    buckets = sorted({_term_bucket(t, cfg.num_term_buckets) for t in terms})
+    seg_manifest = read_manifest(index_root, "segments") or {}
+    gens = None
+    if "generations" in seg_manifest:
+        gens = [
+            int(g["gen"])
+            for g in (seg_manifest.get("generations") or [])
+            if int(g.get("rows", 0)) > 0
+        ]
+    doc_cols = ["term", "range_id", "n_docs", "doc_blob"]
+    rows = read_segment_rows(paths.segments, buckets, terms, columns=doc_cols, gens=gens)
+    if rows is not None:
+        total = sum(int(r["n_docs"]) for r in rows)
+        if total <= cfg.max_driver_postings:
+            ctr["path"] = "driver"
+            by_term: dict[str, list[np.ndarray]] = {}
+            for r in rows:
+                by_term.setdefault(r["term"], []).append(
+                    _decode_row_docs(
+                        {"doc_blob": bytes(r["doc_blob"]), "n_docs": int(r["n_docs"])}
+                    )
+                )
+            if mode == "and" and len(by_term) < len(terms):
+                return 0  # a term matches nothing: conjunction is empty
+            sets = sorted(
+                (np.sort(np.concatenate(v)) for v in by_term.values()), key=len
+            )
+            if not sets:
+                return 0
+            if mode == "or":
+                out = np.unique(np.concatenate(sets))
+            else:
+                out = sets[0]
+                for s in sets[1:]:
+                    out = out[np.isin(out, s, assume_unique=True)]
+                    if not len(out):
+                        return 0
+            if tombstones is not None and len(out):
+                from dawnsearch_spark.operators.merge import _tombstone_mask
+
+                out = out[_tombstone_mask(out, tombstones)]
+            return int(len(out))
+
+    # distributed: decode query-term postings in tasks, count in Spark
+    ctr["path"] = "distributed"
+    sdf = seg_df if seg_df is not None else read_segments(spark, index_root)
+    rows_df = sdf.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    ).select(*doc_cols)
+
+    def decode_gen(batches):
+        for pdf in batches:
+            for i in range(len(pdf)):
+                docs = _decode_row_docs(
+                    {
+                        "doc_blob": bytes(pdf["doc_blob"].iloc[i]),
+                        "n_docs": int(pdf["n_docs"].iloc[i]),
+                    }
+                )
+                yield pd.DataFrame({"doc_id": docs, "term": pdf["term"].iloc[i]})
+
+    pdocs = rows_df.mapInPandas(decode_gen, "doc_id long, term string")
+    if tombstones is not None:
+        tomb_df = spark.createDataFrame(
+            [(int(d),) for d in np.asarray(tombstones)], "doc_id long"
+        )
+        pdocs = pdocs.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+    if mode == "or":
+        matched = pdocs.select("doc_id").distinct()
+    else:
+        matched = (
+            pdocs.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_nt"))
+            .filter(F.col("_nt") == len(terms))
+        )
+    return int(matched.count())
+
+
+def positional_search_index(
+    spark: SparkSession,
+    index_root: str,
+    match_terms: list[str],
+    matcher,
+    cfg: EngineConfig,
+    k: int | None = None,
+    seg_df: DataFrame | None = None,
+    stats=None,
+    counters: dict | None = None,
+    meta_by_term=None,
+    tombstones: np.ndarray | None = None,
+    documents: DataFrame | None = None,
+) -> list[tuple[int, int, float]]:
+    """Generic positional query over the index: candidates must contain
+    every distinct term in ``match_terms``; ``matcher(tokens) -> int``
+    counts the positional matches per candidate doc (phrase adjacency,
+    NEAR windows, ...); matches score as one synthetic BM25 term."""
     ctr = counters if counters is not None else {}
     ctr.update({"path": None, "candidates": 0, "phrase_df": 0})
     k = k or cfg.top_k
     paths = IndexPaths(index_root)
     stats = stats if stats is not None else load_stats(index_root)
-    terms = tokenize_py(phrase)
+    terms = list(match_terms)
     if not terms:
         return []
     uniq = sorted(set(terms))
@@ -193,7 +345,7 @@ def search_phrase_index(
             pdf = tbl.to_pandas()
             toks = tokenize_pandas(pdf[content_col])
             ptf = np.fromiter(
-                (_phrase_hits(np.asarray(t, dtype=object), terms) for t in toks),
+                (matcher(np.asarray(t, dtype=object)) for t in toks),
                 dtype=np.int64,
                 count=len(toks),
             )
@@ -248,7 +400,6 @@ def search_phrase_index(
     cand_docs = docs_rel.select("doc_id", content_col).join(
         F.broadcast(cand_df), "doc_id"
     )
-    phrase_terms = terms
 
     def adj_gen(batches):
         for pdf in batches:
@@ -256,10 +407,7 @@ def search_phrase_index(
                 continue
             toks = tokenize_pandas(pdf[content_col])
             ptf = np.fromiter(
-                (
-                    _phrase_hits(np.asarray(t, dtype=object), phrase_terms)
-                    for t in toks
-                ),
+                (matcher(np.asarray(t, dtype=object)) for t in toks),
                 dtype=np.int64,
                 count=len(toks),
             )

@@ -366,6 +366,51 @@ class Engine:
             documents=self._documents,
         )
 
+    def search_near(
+        self,
+        term_a: str,
+        term_b: str,
+        window: int,
+        k: int | None = None,
+        counters: dict | None = None,
+    ) -> list[tuple[int, int, float]]:
+        """NEAR/n proximity top-k from the index — the phrase-serving
+        plan with an unordered within-window matcher."""
+        from dawnsearch_spark.operators.phrase_serve import search_near_index
+
+        self.last_search_counters = counters if counters is not None else {}
+        return search_near_index(
+            self.spark,
+            self.paths.root,
+            term_a,
+            term_b,
+            window,
+            self.cfg,
+            k=k,
+            seg_df=self._segments,
+            stats=self.stats_,
+            counters=self.last_search_counters,
+            meta_by_term=self._meta_by_term,
+            tombstones=self._tombstones,
+            documents=self._documents,
+        )
+
+    def count(self, query: str, mode: str = "or") -> int:
+        """Total live hits for the query (OR or AND semantics) from
+        postings only — no scoring, no content, zero Spark jobs on the
+        driver fast path (Lucene TotalHitCountCollector analog)."""
+        from dawnsearch_spark.operators.phrase_serve import count_matches_index
+
+        return count_matches_index(
+            self.spark,
+            self.paths.root,
+            query,
+            self.cfg,
+            mode=mode,
+            seg_df=self._segments,
+            tombstones=self._tombstones,
+        )
+
     def search_prefix(
         self, prefix: str, k: int | None = None, max_expansion: int = 128
     ) -> list[tuple[int, float]]:

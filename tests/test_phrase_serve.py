@@ -135,14 +135,62 @@ def test_explain_matches_search_score(spark, small_corpus, phrase_index, cfg):
     assert e.explain(q, other)["score"] == 0.0
 
 
+def test_served_near_matches_batch(spark, small_corpus, phrase_index, cfg, a_phrase):
+    from dawnsearch_spark.operators.boolquery import near_topk
+    from dawnsearch_spark.operators.phrase_serve import search_near_index
+
+    ta, tb = a_phrase.split()
+    hits = search_near_index(spark, phrase_index, ta, tb, 4, cfg)
+    assert hits
+    tf = term_frequencies(small_corpus)
+    stats = corpus_stats(doc_lengths(small_corpus))
+    want = near_topk(small_corpus, tf, stats, ta, tb, 4, cfg).collect()
+    assert [(d, p, round(s, 9)) for d, p, s in hits] == [
+        (r.doc_id, r.prox_tf, round(r.score, 9)) for r in want
+    ]
+
+
+def test_count_matches(spark, small_corpus, phrase_index, cfg, a_phrase):
+    from dataclasses import replace
+
+    from dawnsearch_spark.functions.tokenizer import tokenize_py
+    from dawnsearch_spark.operators.phrase_serve import count_matches_index
+
+    ta, tb = a_phrase.split()
+    q = f"{ta} {tb}"
+    toks = small_corpus.selectExpr("doc_id", "content").collect()
+    py = {r["doc_id"]: set(tokenize_py(r["content"])) for r in toks}
+    want_or = sum(1 for s in py.values() if ta in s or tb in s)
+    want_and = sum(1 for s in py.values() if ta in s and tb in s)
+    ctr: dict = {}
+    assert count_matches_index(spark, phrase_index, q, cfg, "or", counters=ctr) == want_or
+    assert ctr["path"] == "driver"
+    assert count_matches_index(spark, phrase_index, q, cfg, "and") == want_and
+    # distributed path agrees
+    starved = replace(cfg, max_driver_postings=0)
+    ctr2: dict = {}
+    assert (
+        count_matches_index(spark, phrase_index, q, starved, "or", counters=ctr2)
+        == want_or
+    )
+    assert ctr2["path"] == "distributed"
+    assert count_matches_index(spark, phrase_index, q, starved, "and") == want_and
+    # absent term: OR unaffected semantics-wise, AND empties
+    assert count_matches_index(spark, phrase_index, f"{ta} zzznope", cfg, "and") == 0
+    assert count_matches_index(spark, phrase_index, "", cfg, "or") == 0
+
+
 def test_engine_method_and_tombstones(spark, phrase_index, cfg, a_phrase, small_corpus):
     e = Engine(spark, phrase_index, cfg)
     hits = e.search_phrase(a_phrase)
     assert hits == search_phrase_index(spark, phrase_index, a_phrase, cfg)
     top_doc = hits[0][0]
+    n_before = e.count(a_phrase, mode="and")
     e.delete(doc_ids=[top_doc])
     hits2 = e.search_phrase(a_phrase)
     assert all(d != top_doc for d, _, _ in hits2)
+    # the count collector masks tombstones too
+    assert e.count(a_phrase, mode="and") == n_before - 1
     # surviving matches: scores recomputed with the reduced phrase df —
     # the same docs (minus the deleted one) must still be present
     before_ids = {d for d, _, _ in hits}
