@@ -132,6 +132,77 @@ SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT {k}
 """
 
 
+def _snippet_sql(query_terms: list[str], w: int = 8, k: int = 10) -> str:
+    """Best-window snippet oracle: candidates = the exact-BM25 top-k;
+    every window start scored by distinct query terms in the window,
+    earliest-max wins, snippet recomputed byte-identically."""
+    toks = _tok_sql("text")
+    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    return f"""
+WITH cand AS ({_bm25_sql(query_terms, k=k)}),
+t AS (SELECT d.doc_id, {toks} AS t FROM documents d JOIN cand USING (doc_id)),
+pos AS (SELECT doc_id, t, unnest(range(1, greatest(1, len(t) - {w - 1}) + 1)) AS s FROM t),
+sc AS (SELECT doc_id, s,
+         len(list_distinct(list_intersect(list_slice(t, s, s + {w - 1}),
+             [{terms}])))::BIGINT AS sc
+       FROM pos),
+best AS (SELECT doc_id, s, sc,
+           row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, s ASC) AS rn
+         FROM sc)
+SELECT b.doc_id, array_to_string(list_slice(t.t, b.s, b.s + {w - 1}), ' ') AS snippet,
+       b.sc AS n_matched
+FROM best b JOIN t USING (doc_id) WHERE rn = 1
+"""
+
+
+def _bm25f_sql(
+    query_terms: list[str],
+    k: int = 10,
+    title_len: int = 12,
+    w_title: float = 2.0,
+    w_body: float = 1.0,
+) -> str:
+    """BM25F oracle: title = first ``title_len`` tokens, body = remainder;
+    per-field length-normalized weighted tf summed into one
+    pseudo-frequency, document-level idf, single saturation."""
+    toks = _tok_sql("text")
+    terms_in = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+f AS (
+  SELECT doc_id, 'title' AS field, {w_title} AS w,
+         list_slice(t, 1, {title_len}) AS ft FROM base
+  UNION ALL
+  SELECT doc_id, 'body' AS field, {w_body} AS w,
+         list_slice(t, {title_len} + 1, len(t)) AS ft FROM base
+),
+dl AS (SELECT doc_id, field, w, len(ft)::DOUBLE AS dl FROM f),
+ad AS (SELECT field, avg(dl) AS avgdl FROM dl GROUP BY field),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n),
+tf AS (
+  SELECT doc_id, field, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, field, unnest(ft) AS term FROM f)
+  WHERE term IN ({terms_in})
+  GROUP BY doc_id, field, term
+),
+dfq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY term),
+px AS (
+  SELECT tf.doc_id, tf.term,
+         sum(dl.w * tf.tf / (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl)) AS tfx
+  FROM tf JOIN dl USING (doc_id, field) JOIN ad USING (field)
+  GROUP BY tf.doc_id, tf.term
+),
+sc AS (
+  SELECT px.doc_id,
+         sum( ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+              * ({CFG.k1} + 1.0) * px.tfx / ({CFG.k1} + px.tfx) ) AS s
+  FROM px JOIN dfq USING (term) CROSS JOIN st
+  GROUP BY px.doc_id
+)
+SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
 def _phrase_sql(terms: list[str], k: int = 10) -> str:
     """Exact-phrase BM25 oracle: positional adjacency recomputed in SQL
     (1-indexed DuckDB lists; positions i in 1..len-m+1 where every shifted
@@ -415,6 +486,40 @@ def q_bm25_topk_1(spark, sf_dir):
 
 def q_bm25_topk_2(spark, sf_dir):
     return _bm25_spark(spark, sf_dir, BM25_QUERY_2)
+
+
+SNIPPET_WINDOW = 8
+
+
+def q_snippets(spark, sf_dir):
+    """Query-aware best-window snippets (operators/snippets.py) for the
+    BM25 top-10 of the flagship query. Candidate-bounded: the top-k ids
+    are broadcast into the doc scan so the O(dl·window) window scorer
+    touches k rows, never the corpus; inside a row everything is native
+    Column expressions (sequence/slice/array_intersect) in whole-stage
+    codegen. Exact contract (token window joined by spaces, earliest-max
+    tie-break) — the DuckDB twin recomputes every snippet string
+    byte-identically."""
+    from dawnsearch_spark.operators.snippets import best_snippets
+
+    docs = _t(spark, sf_dir, "documents")
+    top = _bm25_spark(spark, sf_dir, BM25_QUERY_1).select("doc_id")
+    cand = docs.join(F.broadcast(top), "doc_id")
+    return best_snippets(cand, BM25_QUERY_1, window=SNIPPET_WINDOW)
+
+
+def q_bm25f_topk(spark, sf_dir):
+    """Fielded BM25F top-10 (operators/bm25f.py): title = first 12
+    tokens (weight 2.0), body = remainder (weight 1.0), per-field length
+    normalization, document-level idf — Robertson & Zaragoza's simple
+    BM25F. Exact golden-truth scorer like bm25_topk (the serving path
+    stays WAND); the oracle recomputes every field tf, per-field avgdl,
+    and the saturated combination in SQL."""
+    from dawnsearch_spark.operators.bm25f import bm25f_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25f_topk(docs, BM25_QUERY_1, k=10, k1=CFG.k1)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
 PHRASE_QUERY = "hash join"
@@ -759,6 +864,25 @@ def q_jaccard_pairs(spark, sf_dir):
     """N-gram Jaccard near-dup pairs (exact, shared-shingle candidates)."""
     docs = _t(spark, sf_dir, "documents")
     return jaccard_pairs_exact(docs, col="text", threshold=0.12)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING end-to-end (operators/dedup.py
+    ``connected_components`` + ``dedup_clusters``): the gate-green
+    ``jaccard_pairs`` edge set -> connected components via alternating
+    large-star/small-star (Kiveris et al. 2014; two groupBy-min shuffles
+    per round, O(log n) rounds even on the chain graphs the capped-bucket
+    candidate generators emit) -> per-doc ``cluster_id`` (min doc id of
+    the component, singletons map to themselves) and ``is_canonical``
+    keeper flag. Filtering ``is_canonical`` is the pipeline-level
+    near-dedup: one keeper per duplicate group. The oracle recomputes the
+    same pair set and takes its transitive closure with a recursive CTE —
+    exact, no tolerance."""
+    from dawnsearch_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_exact(docs, col="text", threshold=0.12)
+    return dedup_clusters(pairs, docs)
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -1875,6 +1999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_explain": q_wand_explain,
         "facet_counts": q_facet_counts,
         "bm25_topk_2": q_bm25_topk_2,
+        "snippets": q_snippets,
+        "bm25f_topk": q_bm25f_topk,
         "wand_topk_1": q_wand_topk_1,
         "wand_topk_2": q_wand_topk_2,
         "wand_topk_dist": q_wand_topk_dist,
@@ -1896,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprint": q_rolling_fingerprint,
         "ngram_lang": q_ngram_lang,
         "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "shingle_count": q_shingle_count,
@@ -2087,6 +2214,8 @@ def oracle_sql() -> dict[str, str]:
         "wand_explain": _explain_sql(BM25_QUERY_1.split()),
         "facet_counts": _facet_sql(FACET_QUERY.split(), ["lang", "source"]),
         "bm25_topk_2": _bm25_sql(BM25_QUERY_2.split()),
+        "snippets": _snippet_sql(BM25_QUERY_1.split(), w=SNIPPET_WINDOW),
+        "bm25f_topk": _bm25f_sql(BM25_QUERY_1.split()),
         # the WAND index path answers against the SAME exact-BM25 oracle:
         # rank identity of the segment engine is what the BASELINE metric
         # demands (docIDs AND scores).
@@ -2391,6 +2520,36 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.s, b.s))::DOUBLE
                   / len(list_distinct(a.s || b.s)) >= 0.12
+        """,
+        # same pair set, then connected components as a recursive-CTE
+        # transitive closure (exact twin of the alternating
+        # large-star/small-star Spark path)
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, list_sort(list_distinct(
+                       list_transform(range(1, len({ws}) - 1),
+                         i -> {ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2])
+                     )) AS s
+              FROM documents WHERE len({ws}) >= 3),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(a.s || b.s)) >= 0.12),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            walk(node, reach) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT walk.node, edges.b
+              FROM walk JOIN edges ON walk.reach = edges.a),
+            comp AS (
+              SELECT node, least(node, min(reach)) AS cluster_id
+              FROM walk GROUP BY node)
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_canonical
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
         """,
         # cosine written out in float64 with sequential folds so it is
         # bit-identical to the Spark zip_with/aggregate evaluation
