@@ -314,6 +314,58 @@ SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT {k}
 """
 
 
+def _suggest_sql(prefix: str, n: int = 10) -> str:
+    """Suggester oracle: cf from the flat token stream, prefix filter,
+    cf desc / term asc, top-n."""
+    toks = _tok_sql("text")
+    return f"""
+WITH t AS (SELECT unnest({toks}) AS term FROM documents),
+d AS (SELECT term, count(*)::BIGINT AS cf FROM t GROUP BY term)
+SELECT term, cf FROM d WHERE term LIKE '{prefix}%' ORDER BY cf DESC, term LIMIT {n}
+"""
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    from dawnsearch_spark.operators.boolquery import wildcard_to_regex
+
+    return wildcard_to_regex(pattern.lower())
+
+
+def _regex_sql(pattern: str, k: int = 10, cap: int = 128) -> str:
+    """Regex-rewrite oracle: anchored full-match expansion against the
+    SQL-side term dictionary (``regexp_full_match`` — the same whole-term
+    contract as the Spark side's anchored ``rlike``), df desc / term asc,
+    capped, then OR-BM25 over the expansion."""
+    toks = _tok_sql("text")
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents
+),
+st AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+tfall AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tfall GROUP BY term),
+exp AS (
+  SELECT term, df FROM dfq WHERE regexp_full_match(term, '{pattern}')
+  ORDER BY df DESC, term LIMIT {cap}
+),
+sc AS (
+  SELECT tfall.doc_id,
+         sum( ln((st.n - exp.df + 0.5) / (exp.df + 0.5) + 1.0)
+              * tfall.tf * ({CFG.k1} + 1.0)
+              / (tfall.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.dl / st.avgdl)) ) AS s
+  FROM tfall JOIN exp USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tfall.doc_id
+)
+SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
 def _fuzzy_sql(q: str, k: int = 10, max_edits: int = 1, cap: int = 50) -> str:
     """Fuzzy-rewrite oracle: Levenshtein expansion (distance asc, df desc,
     term asc, capped) then OR-BM25 — identical to the Spark rewrite."""
@@ -615,6 +667,91 @@ def q_wand_fuzzy(spark, sf_dir):
         [(int(d), float(s)) for d, s in hits] or [], "doc_id long, score double"
     )
     return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+REGEX_QUERY = "(qu|sc).*"  # full-match: multi-term expansion {query, scan, ...}
+WILDCARD_QUERY = "?a??e"  # full-match: {table, value, ...}
+
+
+def q_regex_topk(spark, sf_dir):
+    """Regex term query BM25 top-10 (Lucene RegexpQuery shape): anchored
+    full-match dictionary expansion via JVM ``rlike`` (metadata scan, df
+    desc / term asc, capped), then pure-OR scoring — the same rewrite
+    contract as prefix/fuzzy. Oracle expands with DuckDB
+    ``regexp_full_match`` over the SQL-side dictionary."""
+    from dawnsearch_spark.operators.boolquery import regex_topk
+
+    docs = _docs(spark, sf_dir)
+    tf = term_frequencies(docs)
+    stats = corpus_stats(doc_lengths(docs))
+    dfs = document_frequencies(tf)
+    top = regex_topk(tf, dfs, stats, REGEX_QUERY, CFG)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_wand_regex(spark, sf_dir):
+    """The SAME regex query served from the segment index
+    (``Engine.search_regex``: terms-relation expansion + WAND) — must
+    agree exactly with the batch rewrite's oracle."""
+    from dawnsearch_spark.plans.query import Engine
+
+    root = _wand_index_root(spark, sf_dir)
+    hits = Engine(spark, root, _wand_cfg()).search_regex(REGEX_QUERY)
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits] or [], "doc_id long, score double"
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_wildcard_topk(spark, sf_dir):
+    """Wildcard term query (``?a??e``) BM25 top-10: Lucene WildcardQuery
+    translation (``*``->``.*``, ``?``->``.``) into the regex rewrite."""
+    from dawnsearch_spark.operators.boolquery import wildcard_topk
+
+    docs = _docs(spark, sf_dir)
+    tf = term_frequencies(docs)
+    stats = corpus_stats(doc_lengths(docs))
+    dfs = document_frequencies(tf)
+    top = wildcard_topk(tf, dfs, stats, WILDCARD_QUERY, CFG)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+SUGGEST_PREFIX = "s"
+
+
+def q_suggest_terms(spark, sf_dir):
+    """Autocomplete suggester (operators/boolquery.py suggest_terms):
+    top-10 dictionary terms under a prefix by collection frequency
+    (cf desc, term asc) — a bounded metadata scan, never postings."""
+    from dawnsearch_spark.operators.boolquery import suggest_terms
+
+    docs = _docs(spark, sf_dir)
+    dfs = document_frequencies(term_frequencies(docs))
+    return suggest_terms(dfs, SUGGEST_PREFIX, n=10)
+
+
+def q_wand_suggest(spark, sf_dir):
+    """The SAME suggestion served from the index's committed term
+    dictionary (``Engine.suggest`` over the terms relation) — identical
+    by construction since the dictionary stores exact df/cf."""
+    from dawnsearch_spark.plans.query import Engine
+
+    root = _wand_index_root(spark, sf_dir)
+    rows = Engine(spark, root, _wand_cfg()).suggest(SUGGEST_PREFIX, n=10)
+    return spark.createDataFrame(rows or [], "term string, cf long")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events table
+    (operators/sessionize.py): Spark-native ``session_window``
+    aggregation (one shuffle on user_id, in-partition merge — no
+    full-table sort), 30-minute gap. The oracle recomputes sessions as
+    gaps-and-islands (lag + running sum) — exact on counts, bounds, and
+    rounded value sums."""
+    from dawnsearch_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, gap="30 minutes")
 
 
 def q_wand_explain(spark, sf_dir):
@@ -1995,6 +2132,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_near": q_wand_near,
         "match_count": q_match_count,
         "fuzzy_topk": q_fuzzy_topk,
+        "regex_topk": q_regex_topk,
+        "wand_regex": q_wand_regex,
+        "wildcard_topk": q_wildcard_topk,
+        "suggest_terms": q_suggest_terms,
+        "wand_suggest": q_wand_suggest,
+        "sessionize": q_sessionize,
         "wand_fuzzy": q_wand_fuzzy,
         "wand_explain": q_wand_explain,
         "facet_counts": q_facet_counts,
@@ -2211,6 +2354,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fuzzy_topk": _fuzzy_sql(FUZZY_QUERY),
         "wand_fuzzy": _fuzzy_sql(FUZZY_QUERY),
+        "regex_topk": _regex_sql(REGEX_QUERY),
+        "wand_regex": _regex_sql(REGEX_QUERY),
+        "wildcard_topk": _regex_sql(_wildcard_to_regex(WILDCARD_QUERY)),
+        "suggest_terms": _suggest_sql(SUGGEST_PREFIX),
+        "wand_suggest": _suggest_sql(SUGGEST_PREFIX),
+        # gaps-and-islands twin of session_window: a session breaks when
+        # the gap since the previous event reaches 30 minutes
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                  FROM g)
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
         "wand_explain": _explain_sql(BM25_QUERY_1.split()),
         "facet_counts": _facet_sql(FACET_QUERY.split(), ["lang", "source"]),
         "bm25_topk_2": _bm25_sql(BM25_QUERY_2.split()),

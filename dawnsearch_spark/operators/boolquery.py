@@ -298,6 +298,74 @@ def fuzzy_topk(
     return boolean_topk(tf, term_stats, stats, cfg, should=exp, k=k)
 
 
+def regex_expand(
+    term_stats: DataFrame, pattern: str, max_expansion: int = 128
+) -> list[str]:
+    """Full-match regex expansion against the term dictionary (Lucene
+    RegexpQuery: the automaton must accept the ENTIRE term, so the
+    pattern is anchored). JVM-side ``rlike`` over the terms relation — a
+    bounded metadata scan, never postings; Lucene intersects an FST for
+    the same set. Deterministic cap: df desc, term asc."""
+    anchored = f"^(?:{pattern})$"
+    return [
+        r["term"]
+        for r in term_stats.filter(F.col("term").rlike(anchored))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansion)
+        .collect()
+    ]
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene WildcardQuery translation: ``*`` -> ``.*``, ``?`` -> ``.``,
+    everything else regex-escaped. The wildcard surface is sugar over the
+    regex rewrite path."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
+def regex_topk(
+    tf: DataFrame,
+    term_stats: DataFrame,
+    stats: CorpusStats,
+    pattern: str,
+    cfg: EngineConfig,
+    k: int | None = None,
+    max_expansion: int = 128,
+) -> DataFrame:
+    """Regex term query BM25 top-k (Lucene RegexpQuery shape): full-match
+    dictionary expansion (:func:`regex_expand`), then pure-OR scoring with
+    qtf=1 per expanded term — the same rewrite contract as prefix/fuzzy."""
+    exp = regex_expand(term_stats, pattern, max_expansion)
+    if not exp:
+        return tf.sparkSession.createDataFrame([], "doc_id long, score double")
+    return boolean_topk(tf, term_stats, stats, cfg, should=exp, k=k)
+
+
+def wildcard_topk(
+    tf: DataFrame,
+    term_stats: DataFrame,
+    stats: CorpusStats,
+    pattern: str,
+    cfg: EngineConfig,
+    k: int | None = None,
+    max_expansion: int = 128,
+) -> DataFrame:
+    """Wildcard (``te?m*``) BM25 top-k: translate to the regex rewrite."""
+    return regex_topk(
+        tf, term_stats, stats, wildcard_to_regex(pattern.lower()), cfg, k, max_expansion
+    )
+
+
 def near_topk(
     docs: DataFrame,
     tf: DataFrame,
@@ -414,4 +482,24 @@ def facet_counts(
         pairs.select("fv.facet", "fv.value")
         .groupBy("facet", "value")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def suggest_terms(
+    term_stats: DataFrame, prefix: str, n: int = 10
+) -> DataFrame:
+    """Autocomplete suggester (Lucene suggest module analog): the top-n
+    dictionary terms under a prefix, ranked by collection frequency
+    (cf desc, term asc — "most typed continuation first"). A bounded
+    metadata scan of the terms relation; never touches postings. The
+    same relation serves the index path (``Engine.suggest``), so batch
+    and served answers are identical by construction."""
+    pre = tokenize_py(prefix)
+    if len(pre) != 1:
+        return term_stats.sparkSession.createDataFrame([], "term string, cf long")
+    return (
+        term_stats.filter(F.col("term").startswith(pre[0]))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(n)
+        .select("term", F.col("cf").cast("long").alias("cf"))
     )

@@ -465,6 +465,47 @@ class Engine:
             return []
         return self.search({t: 1 for t in exp}, k=k)
 
+    def search_regex(
+        self, pattern: str, k: int | None = None, max_expansion: int = 128
+    ) -> list[tuple[int, float]]:
+        """Regex term query (Lucene RegexpQuery shape): full-match
+        expansion against the terms relation via JVM ``rlike`` (one
+        bounded metadata job, the same engine the batch rewrite uses so
+        expansion semantics are identical), then the normal WAND path.
+        Lucene intersects the pattern automaton with its term FST; the
+        terms-relation scan is the DataFrame-native equivalent at
+        dictionary (not postings) cost."""
+        from dawnsearch_spark.operators.boolquery import regex_expand
+
+        exp = regex_expand(
+            self.spark.read.parquet(self.paths.terms), pattern, max_expansion
+        )
+        if not exp:
+            return []
+        return self.search({t: 1 for t in exp}, k=k)
+
+    def search_wildcard(
+        self, pattern: str, k: int | None = None, max_expansion: int = 128
+    ) -> list[tuple[int, float]]:
+        """Wildcard (``te?m*``) top-k: sugar over :meth:`search_regex`."""
+        from dawnsearch_spark.operators.boolquery import wildcard_to_regex
+
+        return self.search_regex(
+            wildcard_to_regex(pattern.lower()), k=k, max_expansion=max_expansion
+        )
+
+    def suggest(self, prefix: str, n: int = 10) -> list[tuple[str, int]]:
+        """Autocomplete from the index's term dictionary: top-n terms
+        under the prefix by collection frequency (cf desc, term asc).
+        One bounded metadata job over the terms relation — the dictionary
+        the index already maintains for df/cf; no postings touched."""
+        from dawnsearch_spark.operators.boolquery import suggest_terms
+
+        rows = suggest_terms(
+            self.spark.read.parquet(self.paths.terms), prefix, n
+        ).collect()
+        return [(str(r["term"]), int(r["cf"])) for r in rows]
+
     def explain(self, query: str | dict[str, int], doc_id: int) -> dict:
         """Lucene-style per-term score breakdown for one (query, doc):
         block-directory point lookups, no scan — the reported total is

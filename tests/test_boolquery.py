@@ -192,3 +192,30 @@ def test_facet_counts(spark, tiny):
         ("source", "s0"): 2,
         ("source", "s1"): 1,
     }
+
+
+def test_regex_and_wildcard_rewrites(spark, tiny):
+    from dawnsearch_spark.operators.boolquery import (
+        regex_topk,
+        wildcard_to_regex,
+        wildcard_topk,
+    )
+
+    tf = term_frequencies(tiny)
+    stats = corpus_stats(doc_lengths(tiny))
+    dfs = document_frequencies(tf)
+    # full-match: "delta|beta" expands to exactly those two terms
+    a = regex_topk(tf, dfs, stats, "delta|beta", CFG).collect()
+    b = boolean_topk(tf, dfs, stats, CFG, should=["beta", "delta"]).collect()
+    assert [(r.doc_id, r.score) for r in a] == [(r.doc_id, r.score) for r in b]
+    # anchoring: "et" must NOT match "beta" (whole-term semantics)
+    assert regex_topk(tf, dfs, stats, "et", CFG).count() == 0
+    # wildcard translation
+    assert wildcard_to_regex("te?m*") == "te.m.*"
+    assert wildcard_to_regex("a.b") == "a\\.b"
+    # "?elta" -> delta only
+    w = wildcard_topk(tf, dfs, stats, "?elta", CFG).collect()
+    d = boolean_topk(tf, dfs, stats, CFG, should=["delta"]).collect()
+    assert [(r.doc_id, r.score) for r in w] == [(r.doc_id, r.score) for r in d]
+    # no dictionary match -> empty
+    assert regex_topk(tf, dfs, stats, "zz+", CFG).count() == 0
