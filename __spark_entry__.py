@@ -325,6 +325,20 @@ SELECT term, cf FROM d WHERE term LIKE '{prefix}%' ORDER BY cf DESC, term LIMIT 
 """
 
 
+def _spellcheck_sql(word: str, max_edits: int = 2, n: int = 5) -> str:
+    """Spellcheck oracle: Levenshtein over the SQL-side dictionary,
+    distance asc / df desc / term asc, exact term excluded."""
+    toks = _tok_sql("text")
+    return f"""
+WITH t AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+d AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM t GROUP BY term),
+sc AS (SELECT term, levenshtein(term, '{word}')::INT AS distance, df FROM d)
+SELECT term, distance, df FROM sc
+WHERE distance <= {max_edits} AND distance > 0
+ORDER BY distance, df DESC, term LIMIT {n}
+"""
+
+
 def _wildcard_to_regex(pattern: str) -> str:
     from dawnsearch_spark.operators.boolquery import wildcard_to_regex
 
@@ -752,6 +766,60 @@ def q_sessionize(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return sessionize(ev, gap="30 minutes")
+
+
+SPELL_QUERY = "quary"  # 1 edit from "query"; 2 edits reach several terms
+
+
+def q_spellcheck(spark, sf_dir):
+    """Did-you-mean suggestions (operators/boolquery.py spellcheck):
+    dictionary terms within 2 edits of a misspelling, ranked distance
+    asc / df desc / term asc — bounded metadata scan."""
+    from dawnsearch_spark.operators.boolquery import spellcheck
+
+    docs = _docs(spark, sf_dir)
+    dfs = document_frequencies(term_frequencies(docs))
+    return spellcheck(dfs, SPELL_QUERY, max_edits=2, n=5)
+
+
+def q_wand_spellcheck(spark, sf_dir):
+    """The SAME suggestions served from the index's committed term
+    dictionary (``Engine.spellcheck``) — identical by construction."""
+    from dawnsearch_spark.plans.query import Engine
+
+    root = _wand_index_root(spark, sf_dir)
+    rows = Engine(spark, root, _wand_cfg()).spellcheck(SPELL_QUERY, max_edits=2, n=5)
+    return spark.createDataFrame(rows or [], "term string, distance int, df long")
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): every click event picks up the
+    most recent PRIOR purchase of the same user (inclusive backward
+    match) — the point-in-time state-lookup primitive Spark lacks
+    natively, expressed as tag-union + one key shuffle + an ordered
+    in-partition window (never the O(|L|x|R|) range join). The oracle is
+    DuckDB's NATIVE ``ASOF LEFT JOIN`` — an independent implementation
+    of the same contract, the strongest kind of twin."""
+    from dawnsearch_spark.operators.asof import asof_join
+    from dawnsearch_spark.operators.sessionize import TS_FMT
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id",
+                    right_cols=["purchase_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("click_ts"),
+        "purchase_value",
+    )
 
 
 def q_wand_explain(spark, sf_dir):
@@ -2138,6 +2206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": q_suggest_terms,
         "wand_suggest": q_wand_suggest,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "spellcheck": q_spellcheck,
+        "wand_spellcheck": q_wand_spellcheck,
         "wand_fuzzy": q_wand_fuzzy,
         "wand_explain": q_wand_explain,
         "facet_counts": q_facet_counts,
@@ -2359,6 +2430,8 @@ def oracle_sql() -> dict[str, str]:
         "wildcard_topk": _regex_sql(_wildcard_to_regex(WILDCARD_QUERY)),
         "suggest_terms": _suggest_sql(SUGGEST_PREFIX),
         "wand_suggest": _suggest_sql(SUGGEST_PREFIX),
+        "spellcheck": _spellcheck_sql(SPELL_QUERY),
+        "wand_spellcheck": _spellcheck_sql(SPELL_QUERY),
         # gaps-and-islands twin of session_window: a session breaks when
         # the gap since the previous event reaches 30 minutes
         "sessionize": """
@@ -2379,6 +2452,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        # DuckDB's NATIVE ASOF JOIN as an independent implementation of
+        # the same backward-inclusive contract
+        "asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+            purch AS (
+              SELECT user_id, ts, value AS purchase_value
+              FROM events WHERE event_type = 'purchase')
+            SELECT c.event_id, c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                   p.purchase_value
+            FROM clicks c
+            ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND p.ts <= c.ts
         """,
         "wand_explain": _explain_sql(BM25_QUERY_1.split()),
         "facet_counts": _facet_sql(FACET_QUERY.split(), ["lang", "source"]),

@@ -1,0 +1,76 @@
+"""As-of join: attach the most recent right-side row (per key) to each
+left row — the time-series primitive (point-in-time state lookup) that
+Spark's DataFrame API does not ship natively.
+
+Implemented as the canonical scalable composition instead of a join:
+tag both sides, union, ONE shuffle on the key, and an in-partition
+ordered window that carries the right side's columns forward
+(``last(..., ignorenulls=True)`` over rows-unbounded-preceding). Right
+rows sort BEFORE left rows at equal timestamps, so the match condition
+is inclusive: right.ts <= left.ts — exactly DuckDB's
+``ASOF LEFT JOIN ... ON r.ts <= l.ts``, which the gate oracle uses.
+
+Why not a join: the naive formulation (left join right on key and
+right.ts <= left.ts, then max-per-left) is a range join — O(|L|·|R|)
+per key under Catalyst, the 100-TB scale-killer. The union+window form
+costs one shuffle + one in-partition sort, the same shape as a
+sort-merge join, regardless of how many right rows precede each left
+row. Skewed keys behave like any windowed aggregation (a hot key lands
+in one partition; AQE cannot split a window partition — for known-hot
+keys, pre-bucket the right side to its latest-per-(key, coarse-time)
+row first).
+
+Reference analog: none (the reference has no temporal operators); this
+is part of the beyond-reference pipeline family, and one of the named
+examples in the task brief of an operator worth expressing Spark-first.
+
+Tie semantics: multiple right rows at the SAME (key, ts) are ambiguous
+under any as-of contract; this implementation breaks ties by the order
+of ``right_cols[0]`` ascending (the window's final sort column), and the
+gate keeps its fixture tie-free so Spark and DuckDB agree regardless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "user_id",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """For each left row, the latest right row with ``right.on <=
+    left.on`` within the same ``by`` key (backward as-of, inclusive).
+
+    ``right_cols`` — the right-side columns to carry onto left rows
+    (they must not collide with left column names; rename first). Left
+    rows with no preceding right row keep NULLs (left-join semantics).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, by)]
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right_cols collide with left columns: {sorted(overlap)}")
+
+    lt = left.withColumn("_tag", F.lit(1))
+    rt = right.select(by, on, *right_cols).withColumn("_tag", F.lit(0))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_tag").asc(), *[F.col(c).asc() for c in right_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # all carried columns in ONE select: overwriting them iteratively
+    # would corrupt the window's tie-break ordering for later columns
+    carried = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in right_cols]
+    keep = [F.col(c) for c in left.columns]
+    return (
+        u.select(*keep, F.col("_tag"), *carried)
+        .filter(F.col("_tag") == 1)
+        .drop("_tag")
+    )

@@ -503,3 +503,28 @@ def suggest_terms(
         .limit(n)
         .select("term", F.col("cf").cast("long").alias("cf"))
     )
+
+
+def spellcheck(
+    term_stats: DataFrame,
+    word: str,
+    max_edits: int = 2,
+    n: int = 5,
+) -> DataFrame:
+    """Did-you-mean suggestions (Lucene DirectSpellChecker analog):
+    dictionary terms within ``max_edits`` Levenshtein edits of ``word``
+    (the word itself excluded — suggestions are alternatives), ranked
+    distance asc, df desc, term asc, top-n. JVM-side ``F.levenshtein``
+    over the terms relation — bounded metadata, never postings."""
+    q = tokenize_py(word)
+    if len(q) != 1:
+        return term_stats.sparkSession.createDataFrame(
+            [], "term string, distance int, df long"
+        )
+    return (
+        term_stats.withColumn("distance", F.levenshtein(F.col("term"), F.lit(q[0])))
+        .filter((F.col("distance") <= max_edits) & (F.col("distance") > 0))
+        .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        .limit(n)
+        .select("term", "distance", F.col("df").cast("long").alias("df"))
+    )

@@ -506,6 +506,19 @@ class Engine:
         ).collect()
         return [(str(r["term"]), int(r["cf"])) for r in rows]
 
+    def spellcheck(
+        self, word: str, max_edits: int = 2, n: int = 5
+    ) -> list[tuple[str, int, int]]:
+        """Did-you-mean from the index's term dictionary: (term,
+        distance, df) alternatives within ``max_edits``, ranked distance
+        asc / df desc / term asc. One bounded metadata job."""
+        from dawnsearch_spark.operators.boolquery import spellcheck
+
+        rows = spellcheck(
+            self.spark.read.parquet(self.paths.terms), word, max_edits, n
+        ).collect()
+        return [(str(r["term"]), int(r["distance"]), int(r["df"])) for r in rows]
+
     def explain(self, query: str | dict[str, int], doc_id: int) -> dict:
         """Lucene-style per-term score breakdown for one (query, doc):
         block-directory point lookups, no scan — the reported total is

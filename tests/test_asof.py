@@ -1,0 +1,58 @@
+"""As-of join contracts: backward-inclusive match, left-join NULLs,
+per-key isolation, collision guard."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from dawnsearch_spark.operators.asof import asof_join
+
+
+def _df(spark, schema, rows):
+    return spark.createDataFrame(rows, schema)
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+
+def test_backward_inclusive_match(spark):
+    left = _df(spark, "event_id long, user_id long, ts timestamp_ntz",
+               [(0, 1, _ts(10)), (1, 1, _ts(20)), (2, 1, _ts(5))])
+    right = _df(spark, "user_id long, ts timestamp_ntz, state string",
+                [(1, _ts(10), "a"), (1, _ts(15), "b")])
+    got = {r["event_id"]: r["state"]
+           for r in asof_join(left, right, right_cols=["state"]).collect()}
+    # t=10 matches the right row AT t=10 (inclusive); t=20 takes t=15;
+    # t=5 has no prior state -> NULL
+    assert got == {0: "a", 1: "b", 2: None}
+
+
+def test_keys_do_not_leak(spark):
+    left = _df(spark, "event_id long, user_id long, ts timestamp_ntz",
+               [(0, 1, _ts(10)), (1, 2, _ts(10))])
+    right = _df(spark, "user_id long, ts timestamp_ntz, state string",
+                [(2, _ts(1), "only-user-2")])
+    got = {r["event_id"]: r["state"]
+           for r in asof_join(left, right, right_cols=["state"]).collect()}
+    assert got == {0: None, 1: "only-user-2"}
+
+
+def test_latest_of_many_right_rows(spark):
+    left = _df(spark, "event_id long, user_id long, ts timestamp_ntz",
+               [(0, 1, _ts(100))])
+    right = _df(spark, "user_id long, ts timestamp_ntz, state string",
+                [(1, _ts(m), f"s{m}") for m in (1, 40, 70, 99)])
+    out = asof_join(left, right, right_cols=["state"]).collect()
+    assert out[0]["state"] == "s99"
+
+
+def test_column_collision_raises(spark):
+    left = _df(spark, "event_id long, user_id long, ts timestamp_ntz, state string",
+               [(0, 1, _ts(10), "x")])
+    right = _df(spark, "user_id long, ts timestamp_ntz, state string",
+                [(1, _ts(1), "y")])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, right_cols=["state"])
