@@ -822,6 +822,19 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/split.py):
+    content-keyed md5 bucketing — stable across partitioning, engines,
+    and reruns (randomSplit is not), the leakage-safe split a
+    training-data pipeline needs. One codegen'd projection, no shuffle,
+    no UDF; the oracle recomputes every bucket and label from the same
+    md5 formula."""
+    from dawnsearch_spark.operators.split import assign_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_splits(docs, key_col="doc_id").select("doc_id", "bucket", "split")
+
+
 def q_wand_explain(spark, sf_dir):
     """Lucene-style explain served from the index: per-term (tf, df, idf,
     tscore) breakdown rows for the TOP-1 doc of the flagship query, via
@@ -2207,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_suggest": q_wand_suggest,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "dataset_split": q_dataset_split,
         "spellcheck": q_spellcheck,
         "wand_spellcheck": q_wand_spellcheck,
         "wand_fuzzy": q_wand_fuzzy,
@@ -2452,6 +2466,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        # every bucket/label recomputed from the same md5 formula
+        "dataset_split": """
+            WITH b AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR || '|split-v1'), 1, 8))::BIGINT
+                       % 10000 AS bucket
+              FROM documents)
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 8000 THEN 'train'
+                        WHEN bucket < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         # DuckDB's NATIVE ASOF JOIN as an independent implementation of
         # the same backward-inclusive contract

@@ -56,3 +56,28 @@ def test_suggest_orders_by_cf_then_term(spark):
     # non-single-token prefix -> empty
     assert suggest_terms(stats, "two words", n=5).count() == 0
     assert suggest_terms(stats, "", n=5).count() == 0
+
+
+def test_split_stable_across_partitioning(spark):
+    from dawnsearch_spark.operators.split import assign_splits
+
+    df1 = spark.range(0, 500, 1, 2).withColumnRenamed("id", "doc_id")
+    df2 = spark.range(0, 500, 1, 16).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in assign_splits(df1).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in assign_splits(df2).collect()}
+    assert a == b
+    # fractions roughly respected on 500 ids
+    from collections import Counter
+    c = Counter(v[1] for v in a.values())
+    assert c["train"] > 350 and c["val"] > 20 and c["test"] > 20
+
+
+def test_split_fraction_guard(spark):
+    import pytest as _pytest
+    from dawnsearch_spark.operators.split import assign_splits
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError):
+        assign_splits(df, fractions={"train": 0.5, "test": 0.4})
