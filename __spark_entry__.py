@@ -1855,6 +1855,93 @@ def q_wand_topk_dist(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Stateful STREAMING sessionization under the driver gate: the
+    events table arrives as two time-ordered micro-batches, flows through
+    ``streaming_sessions`` (30-min session_window gap, 2h watermark,
+    append-mode emission when the watermark closes a session), terminates
+    with availableNow. Arrival in time order means nothing is
+    late-dropped; sessions ending within 4h of the global max timestamp
+    are filtered from BOTH sides (final watermark sits 2h back + 30min
+    gap, so near-boundary sessions may not have closed). The oracle is
+    the SAME gaps-and-islands SQL as batch ``sessionize`` with the
+    cutoff applied — one contract, batch and streaming."""
+    import datetime as _dt
+    import glob as _glob
+    import shutil
+    import tempfile
+    import uuid
+
+    from dawnsearch_spark.streaming.stateful import streaming_sessions
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "value",
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        mn, mx = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+        split = mn + (mx - mn) / 2
+        work = tempfile.mkdtemp(prefix=f"dawnsearch_sses_{uuid.uuid4().hex[:8]}_")
+        try:
+            src = os.path.join(work, "incoming")
+            os.makedirs(src)
+            for i, pred in enumerate(
+                [F.col("ts") <= F.lit(split), F.col("ts") > F.lit(split)]
+            ):
+                events.filter(pred).coalesce(1).write.parquet(
+                    os.path.join(src, f"batch={i}")
+                )
+            for i in (0, 1):
+                for f in _glob.glob(os.path.join(src, f"batch={i}", "*")):
+                    os.utime(f, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src + "/*")
+            )
+            out = os.path.join(work, "out")
+            q = (
+                streaming_sessions(
+                    stream, ts_col="ts", gap="30 minutes", watermark="2 hours",
+                    group_cols=("user_id",), value_col="value",
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            rows = spark.read.parquet(out).collect()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        cutoff = mx - _dt.timedelta(hours=4)
+        got = spark.createDataFrame(
+            [
+                (
+                    int(r["user_id"]),
+                    r["session_start"],
+                    r["session_end"],
+                    int(r["n_events"]),
+                    float(r["sum_value"]),
+                )
+                for r in rows
+                if r["_last_ts"] <= cutoff
+            ]
+            or [],
+            "user_id long, session_start string, session_end string, "
+            "n_events long, sum_value double",
+        )
+        return got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def q_stream_window_counts(spark, sf_dir):
     """ST2/windows under the driver gate: a REAL Structured Streaming run
     of watermarked tumbling event-time windows (the reference's
@@ -2219,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": q_suggest_terms,
         "wand_suggest": q_wand_suggest,
         "sessionize": q_sessionize,
+        "stream_sessionize": q_stream_sessionize,
         "asof_join": q_asof_join,
         "dataset_split": q_dataset_split,
         "spellcheck": q_spellcheck,
@@ -2466,6 +2554,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        # the SAME gaps-and-islands contract, restricted to sessions the
+        # streaming watermark has provably closed (4h cutoff)
+        "stream_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                  FROM g),
+            agg AS (
+              SELECT user_id,
+                     strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                     strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                     count(*)::BIGINT AS n_events,
+                     round(sum(value), 6) AS sum_value,
+                     max(ts) AS last_ts
+              FROM s GROUP BY user_id, sid)
+            SELECT user_id, session_start, session_end, n_events, sum_value
+            FROM agg
+            WHERE last_ts <= (SELECT max(ts) - INTERVAL 4 HOUR FROM events)
         """,
         # every bucket/label recomputed from the same md5 formula
         "dataset_split": """

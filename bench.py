@@ -487,6 +487,11 @@ def main() -> None:
         "sha_integrity",
         "repetition",
         "decontaminate",
+        "sessionize",
+        "asof_join",
+        "dedup_clusters",
+        "snippets",
+        "dataset_split",
     ]:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).collect())
 

@@ -128,3 +128,39 @@ def windowed_event_counts(
             *out_vals,
         )
     )
+
+
+def streaming_sessions(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("user_id",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Stateful streaming sessionization: gap-based session windows under
+    a watermark. A session closes (and is emitted, in append mode) when
+    the watermark passes its last event + gap; closed-session state is
+    reclaimed, so state is O(open sessions), never O(events) — the
+    streaming twin of the batch operator (operators/sessionize.py), with
+    identical inclusive-at-gap merge semantics.
+
+    Output schema matches batch ``sessionize`` exactly (wall-clock string
+    bounds), so one SQL oracle serves both."""
+    from dawnsearch_spark.operators.sessionize import TS_FMT
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), *group_cols)
+        .agg(
+            F.date_format(F.min(ts_col), TS_FMT).alias("session_start"),
+            F.date_format(F.max(ts_col), TS_FMT).alias("session_end"),
+            F.max(ts_col).alias("_last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+        .select(
+            *group_cols, "session_start", "session_end", "_last_ts",
+            "n_events", "sum_value",
+        )
+    )
