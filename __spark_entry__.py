@@ -822,6 +822,63 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_event_rollup(spark, sf_dir):
+    """OLAP rollup: CUBE over (event_type, day) with count + value sum —
+    Spark's native ``cube`` (one shuffle; grouping sets expanded
+    map-side) vs DuckDB ``GROUP BY CUBE``. NULL grouping placeholders are
+    coalesced to 'ALL' on both sides so the hash compare is
+    unambiguous."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return (
+        ev.select("event_type", day, "value")
+        .cube("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_value_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per event_type: Spark ``percentile``
+    (exact, linear interpolation) vs DuckDB ``quantile_cont`` — the same
+    type-7 definition, so values match to the rounding."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_profile_columns(spark, sf_dir):
+    """Data-profiling operator: per-column null count, exact distinct
+    count, and min/max over the documents table — one aggregate pass
+    (at 100 TB swap count_distinct for approx_count_distinct; the gate
+    keeps it exact so the oracle can too)."""
+    d = _t(spark, sf_dir, "documents")
+    rows = []
+    for c in ("lang", "source"):
+        rows.append(
+            d.agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(c).isNull().cast("long")).alias("nulls"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_v"),
+                F.max(c).cast("string").alias("max_v"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test assignment (operators/split.py):
     content-keyed md5 bucketing — stable across partitioning, engines,
@@ -2309,6 +2366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "asof_join": q_asof_join,
         "dataset_split": q_dataset_split,
+        "event_rollup": q_event_rollup,
+        "value_quantiles": q_value_quantiles,
+        "profile_columns": q_profile_columns,
         "spellcheck": q_spellcheck,
         "wand_spellcheck": q_wand_spellcheck,
         "wand_fuzzy": q_wand_fuzzy,
@@ -2580,6 +2640,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_start, session_end, n_events, sum_value
             FROM agg
             WHERE last_ts <= (SELECT max(ts) - INTERVAL 4 HOUR FROM events)
+        """,
+        "event_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+                   count(*)::BIGINT AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "profile_columns": """
+            SELECT 'lang' AS col_name, count(*)::BIGINT AS n,
+                   sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+                   count(DISTINCT lang)::BIGINT AS n_distinct,
+                   min(lang) AS min_v, max(lang) AS max_v
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*)::BIGINT,
+                   sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT source)::BIGINT,
+                   min(source), max(source)
+            FROM documents
         """,
         # every bucket/label recomputed from the same md5 formula
         "dataset_split": """
