@@ -879,6 +879,42 @@ def q_profile_columns(spark, sf_dir):
     return out
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """FLAGSHIP COMPOSITION — the end-to-end training-data curation flow
+    every individual operator exists for, chained: Gopher/C4 quality gate
+    -> exact-dup keepers (normalized-md5, keep-min) -> near-dup CLUSTER
+    keepers (Jaccard pairs -> connected components -> canonical) ->
+    deterministic md5 split -> per-split doc/token counts. Every stage is
+    the already-gate-green operator; the oracle chains their SQL twins
+    into one statement (recursive CTE included) and must agree on every
+    count. At 100 TB this is the actual pipeline shape: one quality scan,
+    one fingerprint aggregate, pair generation bounded by shingle
+    buckets, O(log n) CC rounds, then a codegen'd split projection."""
+    from dawnsearch_spark.operators.dedup import dedup_clusters, dedup_exact
+    from dawnsearch_spark.operators.split import assign_splits
+    from dawnsearch_spark.operators.text_analysis import gopher_quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    qual = gopher_quality_filter(docs, col="text")
+    kept_q = docs.join(
+        qual.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+    )
+    kept_e = dedup_exact(kept_q)
+    pairs = jaccard_pairs_exact(kept_e, col="text", threshold=0.12)
+    cl = dedup_clusters(pairs, kept_e)
+    kept = kept_e.join(
+        cl.filter(F.col("is_canonical")).select("doc_id"), "doc_id"
+    )
+    sp = assign_splits(kept, key_col="doc_id")
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens_col("text")).cast("long")).alias("total_tokens"),
+        )
+    )
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic train/val/test assignment (operators/split.py):
     content-keyed md5 bucketing — stable across partitioning, engines,
@@ -2366,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "asof_join": q_asof_join,
         "dataset_split": q_dataset_split,
+        "curation_pipeline": q_curation_pipeline,
         "event_rollup": q_event_rollup,
         "value_quantiles": q_value_quantiles,
         "profile_columns": q_profile_columns,
@@ -2640,6 +2677,79 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_start, session_end, n_events, sum_value
             FROM agg
             WHERE last_ts <= (SELECT max(ts) - INTERVAL 4 HOUR FROM events)
+        """,
+        # the composed curation pipeline: every stage is a gate-green
+        # operator's SQL twin chained into one statement
+        "curation_pipeline": f"""
+            WITH RECURSIVE qbase AS (
+              SELECT doc_id, text,
+                     {ws} AS words,
+                     list_filter(list_transform(str_split(text, chr(10)),
+                                                l -> trim(l)), l -> l <> '') AS lines
+              FROM documents),
+            feat AS (
+              SELECT doc_id, text,
+                     len(words)::BIGINT AS n_tokens,
+                     CASE WHEN len(words) = 0 THEN 0.0
+                          ELSE list_aggregate(list_transform(words, w -> length(w)),
+                                              'sum')::DOUBLE / len(words) END AS mwl,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                               / length(text) END AS ar,
+                     len(list_filter(words, x -> x IN ({stop_in})))::BIGINT AS stop_hits,
+                     CASE WHEN len(lines) = 0 THEN 0.0
+                          ELSE (len(lines) - len(list_distinct(lines)))::DOUBLE
+                               / len(lines) END AS dlr,
+                     CASE WHEN len(words) = 0 THEN 0.0
+                          ELSE (len(words) - len(list_distinct(words)))::DOUBLE
+                               / len(words) END AS dwr
+              FROM qbase),
+            kq AS (
+              SELECT doc_id, text FROM feat
+              WHERE n_tokens BETWEEN 20 AND 100000 AND mwl >= 2.0 AND mwl <= 12.0
+                AND ar >= 0.25 AND stop_hits >= 2 AND dlr <= 0.30 AND dwr <= 0.60),
+            ke AS (
+              SELECT doc_id, text FROM (
+                SELECT doc_id, text, row_number() OVER (
+                  PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                  ORDER BY doc_id) AS rn
+                FROM kq) WHERE rn = 1),
+            sh AS (
+              SELECT doc_id, list_sort(list_distinct(
+                       list_transform(range(1, len({ws}) - 1),
+                         i -> {ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2])
+                     )) AS s
+              FROM ke AS documents WHERE len({ws}) >= 3),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(a.s || b.s)) >= 0.12),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            walk(node, reach) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT walk.node, edges.b
+              FROM walk JOIN edges ON walk.reach = edges.a),
+            comp AS (
+              SELECT node, least(node, min(reach)) AS cluster_id
+              FROM walk GROUP BY node),
+            keep AS (
+              SELECT ke.doc_id, ke.text
+              FROM ke LEFT JOIN comp c ON ke.doc_id = c.node
+              WHERE coalesce(c.cluster_id, ke.doc_id) = ke.doc_id),
+            sp AS (
+              SELECT doc_id, text,
+                     ('0x' || substr(md5(doc_id::VARCHAR || '|split-v1'), 1, 8))::BIGINT
+                       % 10000 AS bucket
+              FROM keep)
+            SELECT CASE WHEN bucket < 8000 THEN 'train'
+                        WHEN bucket < 9000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*)::BIGINT AS n_docs,
+                   sum(len({_tok_sql("text")}))::BIGINT AS total_tokens
+            FROM sp GROUP BY 1
         """,
         "event_rollup": """
             SELECT coalesce(event_type, 'ALL') AS event_type,
