@@ -132,6 +132,41 @@ SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT {k}
 """
 
 
+def _boost_sql(weights: dict[str, float], k: int = 10) -> str:
+    """Boosted-BM25 oracle: each term's contribution multiplied by its
+    float boost (Lucene BoostQuery) — same kernel as _bm25_sql plus a
+    VALUES-list weights join."""
+    toks = _tok_sql("text")
+    terms_in = ", ".join(f"'{t}'" for t in sorted(weights))
+    vals = ", ".join(f"('{t}', {float(w)})" for t, w in sorted(weights.items()))
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents
+),
+st AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+wts(term, w) AS (VALUES {vals}),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  WHERE term IN ({terms_in})
+  GROUP BY doc_id, term
+),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         sum( wts.w * ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+              * tf.tf * ({CFG.k1} + 1.0)
+              / (tf.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.dl / st.avgdl)) ) AS s
+  FROM tf JOIN dfq USING (term) JOIN wts USING (term)
+       JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
 def _snippet_sql(query_terms: list[str], w: int = 8, k: int = 10) -> str:
     """Best-window snippet oracle: candidates = the exact-BM25 top-k;
     every window start scored by distinct query terms in the window,
@@ -555,6 +590,33 @@ def q_bm25_topk_2(spark, sf_dir):
 
 
 SNIPPET_WINDOW = 8
+BOOST_QUERY = {"table": 1.0, "scan": 2.5, "query": 0.25}
+
+
+def q_boost_topk(spark, sf_dir):
+    """Per-term float boosts (Lucene BoostQuery semantics): a
+    ``{term: boost}`` bag where each boost multiplies the term's BM25
+    contribution — honored end-to-end in float (query_terms_df/qtf)."""
+    docs = _docs(spark, sf_dir)
+    tf = term_frequencies(docs)
+    stats = corpus_stats(doc_lengths(docs))
+    dfs = document_frequencies(tf)
+    top = bm25_exact_topk(tf, dfs, stats, BOOST_QUERY, CFG, k=10)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_wand_boost(spark, sf_dir):
+    """The SAME boosted query served from the segment index: float
+    weights flow through every WAND scoring and bound path — must agree
+    exactly with the batch oracle."""
+    from dawnsearch_spark.plans.query import Engine
+
+    root = _wand_index_root(spark, sf_dir)
+    hits = Engine(spark, root, _wand_cfg()).search(BOOST_QUERY)
+    out = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits] or [], "doc_id long, score double"
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
 def q_snippets(spark, sf_dir):
@@ -2414,6 +2476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_2": q_bm25_topk_2,
         "snippets": q_snippets,
         "bm25f_topk": q_bm25f_topk,
+        "boost_topk": q_boost_topk,
+        "wand_boost": q_wand_boost,
         "wand_topk_1": q_wand_topk_1,
         "wand_topk_2": q_wand_topk_2,
         "wand_topk_dist": q_wand_topk_dist,
@@ -2812,6 +2876,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_2": _bm25_sql(BM25_QUERY_2.split()),
         "snippets": _snippet_sql(BM25_QUERY_1.split(), w=SNIPPET_WINDOW),
         "bm25f_topk": _bm25f_sql(BM25_QUERY_1.split()),
+        "boost_topk": _boost_sql(BOOST_QUERY),
+        "wand_boost": _boost_sql(BOOST_QUERY),
         # the WAND index path answers against the SAME exact-BM25 oracle:
         # rank identity of the segment engine is what the BASELINE metric
         # demands (docIDs AND scores).

@@ -54,7 +54,7 @@ def explain_doc(
     paths = IndexPaths(index_root)
     stats = stats if stats is not None else load_stats(index_root)
     bag = Counter(tokenize_py(query)) if isinstance(query, str) else {
-        t: int(w) for t, w in query.items()
+        t: float(w) for t, w in query.items()
     }
     terms = sorted(bag)
     out: dict = {"doc_id": int(doc_id), "score": 0.0, "matched": [], "missing": []}
@@ -160,7 +160,7 @@ def explain_doc(
         out["matched"].append(
             {
                 "term": t,
-                "qtf": int(bag[t]),
+                "qtf": float(bag[t]),
                 "tf": tf,
                 "dl": dl,
                 "df": int(term_df.get(t, 0)),

@@ -26,18 +26,20 @@ from dawnsearch_spark.functions.tokenizer import tokenize_py
 from dawnsearch_spark.operators.tf import CorpusStats
 
 
-def query_terms_df(spark: SparkSession, query: str) -> DataFrame:
+def query_terms_df(spark: SparkSession, query: str | dict[str, float]) -> DataFrame:
     """Tokenize a query (same tokenizer as the corpus) -> (term, qtf).
 
     Reference analog: query and corpus share one tokenizer/model
     (embedding_service.rs:97-139). Duplicate query terms weight the score
-    by their in-query count (qtf).
+    by their in-query count (qtf); a ``{term: boost}`` dict weights terms
+    explicitly (Lucene BoostQuery semantics — the boost multiplies the
+    term's BM25 contribution), and floats are honored end-to-end.
     """
-    counts = Counter(tokenize_py(query))
-    rows = [(t, int(c)) for t, c in sorted(counts.items())]
-    if not rows:
-        rows = []
-    return spark.createDataFrame(rows, "term string, qtf long")
+    if isinstance(query, dict):
+        rows = [(t, float(w)) for t, w in sorted(query.items())]
+    else:
+        rows = [(t, float(c)) for t, c in sorted(Counter(tokenize_py(query)).items())]
+    return spark.createDataFrame(rows, "term string, qtf double")
 
 
 def bm25_exact_topk(

@@ -124,7 +124,7 @@ def new_counters() -> dict:
 @dataclass
 class LightList:
     term: str
-    qtf: int
+    qtf: float
     idf: float
     docs: np.ndarray
     tfs: np.ndarray
@@ -554,7 +554,7 @@ def _split_light_rows_gen(cfg: EngineConfig):
 def search_index(
     spark: SparkSession,
     index_root: str,
-    query: str | dict[str, int],
+    query: str | dict[str, float],
     cfg: EngineConfig,
     k: int | None = None,
     task_groups: int = 64,
@@ -596,7 +596,9 @@ def search_index(
     if isinstance(query, str):
         bag = Counter(tokenize_py(query))
     else:
-        bag = {t: int(w) for t, w in query.items()}
+        # float weights are Lucene-style boosts; they flow
+        # multiplicatively through every scoring and bound path
+        bag = {t: float(w) for t, w in query.items()}
     terms = sorted(bag)
     ctr["terms"] = len(terms)
     if not terms:

@@ -309,7 +309,7 @@ class Engine:
 
     def search(
         self,
-        query: str | dict[str, int],
+        query: str | dict[str, float],
         k: int | None = None,
         max_driver_heavy_rows: int = 256,
         counters: dict | None = None,
@@ -519,7 +519,7 @@ class Engine:
         ).collect()
         return [(str(r["term"]), int(r["distance"]), int(r["df"])) for r in rows]
 
-    def explain(self, query: str | dict[str, int], doc_id: int) -> dict:
+    def explain(self, query: str | dict[str, float], doc_id: int) -> dict:
         """Lucene-style per-term score breakdown for one (query, doc):
         block-directory point lookups, no scan — the reported total is
         bit-identical to the score :meth:`search` gives this doc."""
@@ -571,7 +571,7 @@ class Engine:
         self.refresh()
         return out
 
-    def search_df(self, query: str | dict[str, int], k: int | None = None) -> DataFrame:
+    def search_df(self, query: str | dict[str, float], k: int | None = None) -> DataFrame:
         """Hydrated ranked results (J1 broadcast join + sha verification +
         snippet truncation, reference E1 steps 5-6)."""
         hits = self.search(query, k=k)
