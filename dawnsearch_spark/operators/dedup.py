@@ -739,6 +739,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 50,
     persist_handles: list | None = None,
+    max_driver_edges: int = 200_000,
 ) -> DataFrame:
     """``(node, component)`` for every node appearing in ``pairs``;
     ``component`` is the minimum node id of the node's connected
@@ -767,6 +768,15 @@ def connected_components(
     operator (its dedup is exact-key insert refusal,
     /root/reference/src/search/search_provider.rs:253-263); this is part
     of the beyond-reference training-data family.
+
+    ``max_driver_edges`` is the engine's standard budgeted fast path
+    (the WAND executor's ``max_driver_postings`` discipline): an edge set
+    at or under the budget finishes with a driver-side union-find in ONE
+    collect instead of ~10 distributed rounds of fixed job overhead —
+    near-dup edges are orders of magnitude rarer than docs, so in
+    practice most corpora take this path; above the budget the star
+    rounds run (and hand over mid-way once they shrink the set under
+    budget). Pass 0 to force the fully-distributed path (tests do).
     """
     edges = (
         pairs.select(F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b"))
@@ -775,6 +785,7 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    sess = pairs.sparkSession
 
     def _sig(df):
         # xor-fold: order-independent and overflow-free under ANSI mode
@@ -784,7 +795,33 @@ def connected_components(
         ).collect()[0]
         return (r["n"], r["h"])
 
+    def _driver_cc(edge_df: DataFrame) -> DataFrame:
+        """Bounded-budget driver union-find (path-halving)."""
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edge_df.collect():
+            a, b = int(r["a"]), int(r["b"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp: dict[int, int] = {n: find(n) for n in parent}
+        mins: dict[int, int] = {}
+        for n, root in comp.items():
+            mins[root] = min(mins.get(root, n), n)
+        rows = [(n, mins[root]) for n, root in comp.items()]
+        return sess.createDataFrame(rows or [], "node long, component long")
+
     prev_sig = _sig(edges)
+    if prev_sig[0] <= max_driver_edges:
+        return _driver_cc(edges)
     converged = False
     for _ in range(max_iter):
         edges = _star_round(edges).localCheckpoint(eager=True)
@@ -793,6 +830,11 @@ def connected_components(
             converged = True
             break
         prev_sig = sig
+        if sig[0] <= max_driver_edges:
+            # the star rounds shrank the set under budget: the remaining
+            # edges are (node, smaller-id) links whose transitive closure
+            # the driver finishes exactly
+            return _driver_cc(edges)
     if not converged:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
     if persist_handles is not None:

@@ -37,11 +37,11 @@ def _uf_components(edges, nodes):
     return {n: mins[r] for n, r in comp.items()}
 
 
-def _spark_cc(spark, edges):
+def _spark_cc(spark, edges, max_driver_edges=200_000):
     df = spark.createDataFrame(
         [(int(a), int(b)) for a, b in edges] or [(0, 0)], "id_a long, id_b long"
     )
-    out = connected_components(df)
+    out = connected_components(df, max_driver_edges=max_driver_edges)
     return {r["node"]: r["component"] for r in out.collect()}
 
 
@@ -56,8 +56,10 @@ def test_random_graphs_match_union_find(spark, seed):
     edges = [(a, b) for a, b in edges if a != b]
     nodes = sorted({x for e in edges for x in e})
     want = _uf_components(edges, nodes)
-    got = _spark_cc(spark, edges)
-    assert got == want
+    # driver fast path and forced-distributed star rounds must agree
+    assert _spark_cc(spark, edges) == want
+    if seed == 1:
+        assert _spark_cc(spark, edges, max_driver_edges=0) == want
 
 
 def test_long_chain_converges_logarithmically(spark):
@@ -65,20 +67,35 @@ def test_long_chain_converges_logarithmically(spark):
     # (diameter rounds); the alternating algorithm must finish well
     # inside the iteration budget.
     edges = [(i, i + 1) for i in range(300)]
-    got = _spark_cc(spark, edges)
+    got = _spark_cc(spark, edges, max_driver_edges=0)  # force the star rounds
     assert set(got.values()) == {0}
     assert len(got) == 301
 
 
 def test_two_components_and_self_loops(spark):
     edges = [(5, 6), (6, 7), (20, 21), (9, 9)]
-    got = _spark_cc(spark, edges)
+    got = _spark_cc(spark, edges, max_driver_edges=0)
     assert got == {5: 5, 6: 5, 7: 5, 20: 20, 21: 20}
 
 
 def test_empty_pairs(spark):
     df = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(df).count() == 0
+    assert connected_components(df, max_driver_edges=0).count() == 0
+
+
+def test_midway_handover_to_driver(spark):
+    # a dense component (complete graph on 20 nodes = 190 edges) exceeds
+    # a budget of 100, but one star round collapses it toward a 19-edge
+    # star -> distributed start, driver union-find finish
+    edges = [(i, j) for i in range(20) for j in range(i + 1, 20)]
+    edges += [(100, 101)]  # plus a separate pair component
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df, max_driver_edges=100)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert {got[i] for i in range(20)} == {0}
+    assert got[100] == 100 and got[101] == 100
+    assert len(got) == 22
 
 
 def test_dedup_clusters_keeper_flags(spark):
