@@ -219,3 +219,18 @@ def test_regex_and_wildcard_rewrites(spark, tiny):
     assert [(r.doc_id, r.score) for r in w] == [(r.doc_id, r.score) for r in d]
     # no dictionary match -> empty
     assert regex_topk(tf, dfs, stats, "zz+", CFG).count() == 0
+
+
+def test_float_boosts_scale_scores(spark, tiny):
+    from dawnsearch_spark.operators.oracle import bm25_exact_topk
+
+    tf = term_frequencies(tiny)
+    stats = corpus_stats(doc_lengths(tiny))
+    dfs = document_frequencies(tf)
+    base = {r.doc_id: r.score
+            for r in bm25_exact_topk(tf, dfs, stats, "delta", CFG).collect()}
+    boosted = {r.doc_id: r.score
+               for r in bm25_exact_topk(tf, dfs, stats, {"delta": 2.5}, CFG).collect()}
+    assert set(base) == set(boosted)
+    for d, s in base.items():
+        assert abs(boosted[d] - 2.5 * s) < 1e-9
