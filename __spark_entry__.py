@@ -360,6 +360,53 @@ SELECT term, cf FROM d WHERE term LIKE '{prefix}%' ORDER BY cf DESC, term LIMIT 
 """
 
 
+def _grouped_sql(query_terms: list[str], group_col: str, per_group: int = 3,
+                 candidates: int = 100) -> str:
+    """Field-collapsing oracle: the same BM25 top-N candidate set, one
+    rank-per-group window, keep the best per_group."""
+    return f"""
+WITH sc AS ({_bm25_sql(query_terms, k=candidates)}),
+g AS (
+  SELECT sc.doc_id, d.{group_col}, sc.score,
+         row_number() OVER (PARTITION BY d.{group_col}
+                            ORDER BY sc.score DESC, sc.doc_id) AS rank_in_group
+  FROM sc JOIN documents d USING (doc_id))
+SELECT doc_id, {group_col}, score, rank_in_group
+FROM g WHERE rank_in_group <= {per_group}
+"""
+
+
+def _synonym_sql(synonyms: list[str], k: int = 10) -> str:
+    """SynonymQuery oracle: tf summed over the group, df = max over the
+    group, one BM25 saturation."""
+    toks = _tok_sql("text")
+    terms_in = ", ".join(f"'{t}'" for t in sorted(synonyms))
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({toks})::DOUBLE AS dl FROM documents
+),
+st AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  WHERE term IN ({terms_in})
+  GROUP BY doc_id, term
+),
+mx AS (SELECT max(df) AS df FROM (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)),
+merged AS (SELECT doc_id, sum(tf) AS tf FROM tf GROUP BY doc_id),
+sc AS (
+  SELECT m.doc_id,
+         ln((st.n - mx.df + 0.5) / (mx.df + 0.5) + 1.0)
+         * m.tf * ({CFG.k1} + 1.0)
+         / (m.tf + {CFG.k1} * (1.0 - {CFG.b} + {CFG.b} * dl.dl / st.avgdl)) AS s
+  FROM merged m JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN mx
+)
+SELECT doc_id, round(s, 6) AS score FROM sc ORDER BY s DESC, doc_id LIMIT {k}
+"""
+
+
 def _spellcheck_sql(word: str, max_edits: int = 2, n: int = 5) -> str:
     """Spellcheck oracle: Levenshtein over the SQL-side dictionary,
     distance asc / df desc / term asc, exact term excluded."""
@@ -793,6 +840,35 @@ def q_wildcard_topk(spark, sf_dir):
 
 
 SUGGEST_PREFIX = "s"
+SYNONYM_GROUP = ["table", "vector"]
+
+
+def q_grouped_topk(spark, sf_dir):
+    """Result grouping / field collapsing (Lucene grouping module,
+    operators/boolquery.py grouped_topk): collapse the top-100 BM25
+    candidates of the flagship query to the best 3 per language —
+    the diversified result page. The window rank runs over the SCORED
+    set only (100 rows), never the corpus."""
+    from dawnsearch_spark.operators.boolquery import grouped_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = _bm25_spark(spark, sf_dir, BM25_QUERY_1, k=100)
+    return grouped_topk(docs, scored, group_col="lang", per_group=3)
+
+
+def q_synonym_topk(spark, sf_dir):
+    """Lucene SynonymQuery semantics (operators/boolquery.py
+    synonym_topk): a synonym group scores as ONE pseudo-term — per-doc
+    tf summed over the group, df = MAX over the group (Lucene's
+    documented contract; keeps a rare synonym from inflating idf)."""
+    from dawnsearch_spark.operators.boolquery import synonym_topk
+
+    docs = _docs(spark, sf_dir)
+    tf = term_frequencies(docs)
+    stats = corpus_stats(doc_lengths(docs))
+    dfs = document_frequencies(tf)
+    top = synonym_topk(tf, dfs, stats, SYNONYM_GROUP, CFG)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
 
 
 def q_suggest_terms(spark, sf_dir):
@@ -2460,6 +2536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wildcard_topk": q_wildcard_topk,
         "suggest_terms": q_suggest_terms,
         "wand_suggest": q_wand_suggest,
+        "grouped_topk": q_grouped_topk,
+        "synonym_topk": q_synonym_topk,
         "sessionize": q_sessionize,
         "stream_sessionize": q_stream_sessionize,
         "asof_join": q_asof_join,
@@ -2695,6 +2773,8 @@ def oracle_sql() -> dict[str, str]:
         "wand_suggest": _suggest_sql(SUGGEST_PREFIX),
         "spellcheck": _spellcheck_sql(SPELL_QUERY),
         "wand_spellcheck": _spellcheck_sql(SPELL_QUERY),
+        "grouped_topk": _grouped_sql(BM25_QUERY_1.split(), "lang"),
+        "synonym_topk": _synonym_sql(SYNONYM_GROUP),
         # gaps-and-islands twin of session_window: a session breaks when
         # the gap since the previous event reaches 30 minutes
         "sessionize": """

@@ -528,3 +528,80 @@ def spellcheck(
         .limit(n)
         .select("term", "distance", F.col("df").cast("long").alias("df"))
     )
+
+
+def grouped_topk(
+    docs: DataFrame,
+    scored: DataFrame,
+    group_col: str,
+    per_group: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Result grouping / field collapsing (Lucene grouping module): the
+    top ``per_group`` hits per value of ``group_col``, ranked by score
+    (doc_id tie-break) — the diversified result page ("best 3 per
+    language/site"). ``scored`` is any (doc_id, score) relation — the
+    exact scorer or the WAND serving path's output.
+
+    Scale notes: the group attribute joins onto the SCORED set (top-k or
+    match set, orders of magnitude under the corpus), then one window
+    rank per group — a shuffle over scored rows only; the corpus-side
+    join prunes by doc_id."""
+    from pyspark.sql import Window as W
+
+    g = scored.join(docs.select(id_col, group_col), id_col)
+    w = W.partitionBy(group_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        g.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= per_group)
+        .select(id_col, group_col, "score", "rank_in_group")
+    )
+
+
+def synonym_topk(
+    tf: DataFrame,
+    term_stats: DataFrame,
+    stats: CorpusStats,
+    synonyms: list[str],
+    cfg: EngineConfig,
+    k: int | None = None,
+) -> DataFrame:
+    """Lucene SynonymQuery semantics: a synonym group scores as ONE
+    pseudo-term — per-doc tf is the SUM over the group's terms, df is the
+    MAX over the group (not the union-doc count: Lucene's documented
+    SynonymQuery/BlendedTermQuery contract, which keeps a rare synonym
+    from inflating idf). One pass over the group's postings; shuffle
+    bounded by those postings only."""
+    k = k or cfg.top_k
+    terms = sorted({t for s in synonyms for t in tokenize_py(s)})
+    spark = tf.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    dfx = (
+        term_stats.filter(F.col("term").isin(terms))
+        .agg(F.max("df").alias("df"))
+        .collect()[0]["df"]
+    )
+    if dfx is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    merged = (
+        tf.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"))
+    )
+    scored = merged.withColumn(
+        "score",
+        bm25_col(
+            F.col("tf"),
+            F.col("dl"),
+            idf_col(F.lit(float(dfx)), float(stats.n_docs)),
+            stats.avgdl,
+            cfg.k1,
+            cfg.b,
+        ),
+    )
+    return (
+        scored.select("doc_id", F.col("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
