@@ -856,6 +856,20 @@ def q_grouped_topk(spark, sf_dir):
     return grouped_topk(docs, scored, group_col="lang", per_group=3)
 
 
+def q_wand_grouped(spark, sf_dir):
+    """The SAME field-collapsed result page served from the segment
+    index (``Engine.search_grouped``: top-100 WAND hits — rank-identical
+    to the exact oracle — joined to the group attribute, best 3 per
+    language). Must agree with the batch collapse's oracle."""
+    from dawnsearch_spark.plans.query import Engine
+
+    root = _wand_index_root(spark, sf_dir)
+    eng = Engine(spark, root, _wand_cfg())
+    out = eng.search_grouped(BM25_QUERY_1, "lang", per_group=3,
+                             candidates=100, round_scores=6)
+    return out.select("doc_id", "lang", "score", "rank_in_group")
+
+
 def q_synonym_topk(spark, sf_dir):
     """Lucene SynonymQuery semantics (operators/boolquery.py
     synonym_topk): a synonym group scores as ONE pseudo-term — per-doc
@@ -2537,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": q_suggest_terms,
         "wand_suggest": q_wand_suggest,
         "grouped_topk": q_grouped_topk,
+        "wand_grouped": q_wand_grouped,
         "synonym_topk": q_synonym_topk,
         "sessionize": q_sessionize,
         "stream_sessionize": q_stream_sessionize,
@@ -2774,6 +2789,7 @@ def oracle_sql() -> dict[str, str]:
         "spellcheck": _spellcheck_sql(SPELL_QUERY),
         "wand_spellcheck": _spellcheck_sql(SPELL_QUERY),
         "grouped_topk": _grouped_sql(BM25_QUERY_1.split(), "lang"),
+        "wand_grouped": _grouped_sql(BM25_QUERY_1.split(), "lang"),
         "synonym_topk": _synonym_sql(SYNONYM_GROUP),
         # gaps-and-islands twin of session_window: a session breaks when
         # the gap since the previous event reaches 30 minutes
