@@ -56,3 +56,38 @@ def test_column_collision_raises(spark):
                 [(1, _ts(1), "y")])
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, right_cols=["state"])
+
+
+def test_asof_random_matches_python_reference(spark):
+    """Randomized cross-check: 400 left rows / 200 right rows over 12
+    keys vs a bisect-based reference — one Spark job for all rows."""
+    import bisect
+    import random
+
+    rng = random.Random(7)
+    left_rows = [
+        (i, rng.randrange(12), _ts(rng.randrange(10_000)))
+        for i in range(400)
+    ]
+    right_rows = [
+        (rng.randrange(12), _ts(rng.randrange(10_000)), f"s{i}")
+        for i in range(200)
+    ]
+    left = _df(spark, "event_id long, user_id long, ts timestamp_ntz", left_rows)
+    right = _df(spark, "user_id long, ts timestamp_ntz, state string", right_rows)
+
+    by_key = {}
+    for u, t, s in right_rows:
+        by_key.setdefault(u, []).append((t, s))
+    for u in by_key:
+        by_key[u].sort()
+
+    def ref(u, t):
+        lst = by_key.get(u, [])
+        i = bisect.bisect_right([x[0] for x in lst], t)
+        return lst[i - 1][1] if i else None
+
+    got = {r["event_id"]: r["state"]
+           for r in asof_join(left, right, right_cols=["state"]).collect()}
+    want = {eid: ref(u, t) for eid, u, t in left_rows}
+    assert got == want
