@@ -230,25 +230,99 @@ def jaccard_pairs_exact(
     rather than exhaustively enumerated. Pass ``max_shingle_df=None`` for
     the fully-exhaustive small-corpus oracle behavior. ``persist_handles``:
     see :func:`minhash_lsh_pairs`.
-    """
+
+    Execution shape (the COUNT-BASED verification): the candidate pairs of
+    a Zipf corpus number in the hundreds of millions, so materializing the
+    distinct pair set and joining the (KB-sized) shingle arrays onto every
+    pair twice shuffles tens of GB of array payload. Instead the exact
+    intersection size is AGGREGATED from the shingle self-join directly —
+    ``|A ∩ B| = count of shared sub-cap shingles + |overcap(A) ∩
+    overcap(B)|`` — so the only wide operation is a count aggregate over
+    narrow (id_a, id_b) rows with map-side partial combine, and the
+    per-doc scalars (|A|, the small over-cap membership array) ride in on
+    a broadcast join: ``|A ∪ B| = |A| + |B| − |A ∩ B|``. Per-pair Jaccard
+    values are bit-identical to the array formulation (same integer
+    inputs, same single float divide, same round)."""
     from pyspark.storagelevel import StorageLevel
 
     base = shingle_sets(df, col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     if persist_handles is not None:
         persist_handles.append(base)
     ex = base.select("_id", F.explode("_sh").alias("_s"))
-    cand = capped_pair_candidates(ex, ["_s"], max_shingle_df)
-    sh = base
-    pairs = (
-        cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+    if max_shingle_df is None:
+        # fully-exhaustive small-corpus oracle path: all pairs, array verify
+        cand = capped_pair_candidates(ex, ["_s"], None)
+        return verified_jaccard_pairs(cand, base, threshold)
+
+    counts = ex.groupBy("_s").count()
+    big = counts.filter(F.col("count") > max_shingle_df).select("_s")
+    ok = ex.join(F.broadcast(big), ["_s"], "left_anti")
+    # exact shared-sub-cap-shingle count per pair: the join output flows
+    # straight into a partial-aggregated sum — no distinct, no arrays.
+    # Chain pairs (the over-cap spanning links, strides 1 and 2 over the
+    # id-ordered bucket — same links as capped_pair_candidates) enter the
+    # SAME aggregation as zero-count rows: they register candidacy without
+    # inflating the intersection, and chain duplicates are absorbed by the
+    # sum — one aggregation pass covers the whole candidate set.
+    from pyspark.sql import Window
+
+    sub_rows = (
+        ok.alias("a")
+        .join(ok.alias("b"), "_s")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.lit(1).cast("long").alias("_c"),
+        )
+    )
+    big_rows = ex.join(F.broadcast(big), ["_s"], "left_semi")
+    w = Window.partitionBy("_s").orderBy("_id")
+    chain = big_rows.withColumn("_prev1_id", F.lag("_id", 1).over(w)).withColumn(
+        "_prev2_id", F.lag("_id", 2).over(w)
+    )
+    chain_rows = (
+        chain.filter(F.col("_prev1_id").isNotNull())
+        .select(F.col("_prev1_id").alias("id_a"), F.col("_id").alias("id_b"))
+        .unionByName(
+            chain.filter(F.col("_prev2_id").isNotNull()).select(
+                F.col("_prev2_id").alias("id_a"), F.col("_id").alias("id_b")
+            )
+        )
+        .withColumn("_c", F.lit(0).cast("long"))
+    )
+    cand = (
+        sub_rows.unionByName(chain_rows)
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("_c").alias("inter_sub"))
+    )
+    # per-doc scalars: |A| and the (small) over-cap membership list — the
+    # full intersection adds the shared over-cap shingles back in
+    oc = big_rows.groupBy("_id").agg(F.collect_set("_s").alias("_oc"))
+    prof = base.select("_id", F.size("_sh").alias("_n_sh")).join(oc, "_id", "left")
+    pa = prof.select(
+        F.col("_id").alias("id_a"),
+        F.col("_n_sh").alias("_n_a"),
+        F.col("_oc").alias("_oc_a"),
+    )
+    pb = prof.select(
+        F.col("_id").alias("id_b"),
+        F.col("_n_sh").alias("_n_b"),
+        F.col("_oc").alias("_oc_b"),
+    )
+    inter_over = F.when(
+        F.col("_oc_a").isNotNull() & F.col("_oc_b").isNotNull(),
+        F.size(F.array_intersect("_oc_a", "_oc_b")),
+    ).otherwise(F.lit(0))
+    return (
+        cand.join(F.broadcast(pa), "id_a")
+        .join(F.broadcast(pb), "id_b")
+        .withColumn("inter", (F.col("inter_sub") + inter_over).cast("int"))
+        .withColumn("uni", (F.col("_n_a") + F.col("_n_b") - F.col("inter")).cast("int"))
         .withColumn("jaccard", F.round(F.col("inter").cast("double") / F.col("uni"), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return pairs
 
 
 # ---------- MinHash + LSH ----------
