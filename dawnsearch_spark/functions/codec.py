@@ -83,10 +83,20 @@ def varbyte_encode(values: np.ndarray) -> bytes:
 
 
 def varbyte_decode(buf: bytes | memoryview, n: int) -> np.ndarray:
-    """Decode exactly ``n`` varbyte values from ``buf`` (uint64 array)."""
+    """Decode exactly ``n`` varbyte values from ``buf`` (uint64 array).
+
+    ``buf`` must hold exactly the ``n`` encoded values (every caller
+    slices exact streams via the block directory). That precondition
+    makes the dominant case O(1)-detectable: ``len(buf) == n`` iff every
+    value fits 7 bits — then the byte buffer IS the value array (tf
+    streams and within-block docID gaps are almost always single-byte,
+    and the serving path calls this per block, so the branch removes the
+    flatnonzero/loop overhead from the hot path entirely)."""
     if n == 0:
         return np.zeros(0, np.uint64)
     b = np.frombuffer(buf, np.uint8)
+    if len(b) == n:  # all single-byte values: the buffer is the answer
+        return b.astype(np.uint64)
     ends = np.flatnonzero((b & 0x80) == 0)[:n]
     starts = np.empty(n, np.int64)
     starts[0] = 0

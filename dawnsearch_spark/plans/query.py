@@ -311,7 +311,7 @@ class Engine:
         self,
         query: str | dict[str, float],
         k: int | None = None,
-        max_driver_heavy_rows: int = 256,
+        max_driver_heavy_rows: int = 4096,
         counters: dict | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), rank-identical to the exact oracle.
