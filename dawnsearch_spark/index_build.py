@@ -45,7 +45,6 @@ from dawnsearch_spark.manifest import (
     write_manifest,
 )
 from dawnsearch_spark.operators.docids import assign_doc_ids
-from dawnsearch_spark.operators.merge import merge_heavy_runs, merge_light_runs
 from dawnsearch_spark.operators.postings import (
     build_posting_miniruns,
     reclassify_runs,
@@ -203,6 +202,178 @@ def load_stats(root: str) -> CorpusStats:
     )
 
 
+#: Postings budget for the DRIVER-SIDE merge fast path (zero Spark jobs):
+#: an append/compaction whose input fits decodes, merges and writes the
+#: new generation in-process via pyarrow — the build-side twin of the
+#: serving fast path (a ~10-stage Spark job costs whole seconds of fixed
+#: overhead on inputs this small). Scale-dependent, so env-overridable;
+#: inputs above the budget take the distributed merge unchanged.
+DRIVER_MERGE_MAX_POSTINGS = int(
+    os.environ.get("DAWNSEARCH_SPARK_DRIVER_MERGE_POSTINGS", 4_000_000)
+)
+
+
+def _driver_merge_to_generation(
+    paths: IndexPaths,
+    cfg: EngineConfig,
+    group_ids: list[int],
+    gen_id: int,
+    source_gens: list[dict] | None = None,
+    tombstones=None,
+) -> dict | None:
+    """In-process (pyarrow, zero-Spark-job) twin of the distributed
+    stage-3 merge for budget-sized inputs. Emits EXACTLY the rows the
+    distributed path emits — same reclassify split set (dictionary-heavy
+    terms ∪ terms already salted in the input runs), same per-(term, salt)
+    k-way merge kernel, same tombstone mask, same ``_make_segment_row``
+    packing, same (term, range_id) file order per bucket — written as one
+    parquet file per ``gen=K/bucket=B`` directory with ~1 MB row groups
+    (the same term-pruning layout the distributed writer produces).
+    Returns None when the input is not driver-readable (non-local URI) —
+    the caller falls back to the distributed merge."""
+    import glob as _glob
+
+    import numpy as np
+
+    if "://" in paths.root:
+        return None
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as papq
+
+    from dawnsearch_spark.operators.merge import (
+        SEGMENT_COLS,
+        merge_rows_columnar,
+        segment_columns_to_rows,
+    )
+
+    # ---- input rows: runs-sourced, else segment-sourced (compaction/purge
+    # after gc_runs), mirroring the distributed path's source selection ----
+    gdirs = [os.path.join(paths.runs, f"group={g}") for g in group_ids]
+    if source_gens is not None and not all(os.path.isdir(d) for d in gdirs):
+        src_groups = sorted(int(x) for g in source_gens for x in g["groups"])
+        if src_groups != sorted(int(g) for g in group_ids):
+            return None  # let the distributed path raise its precise error
+        files: list[str] = []
+        for g in source_gens:
+            if int(g.get("rows", 0)) > 0:
+                files.extend(
+                    sorted(
+                        _glob.glob(
+                            os.path.join(
+                                paths.segments, f"gen={int(g['gen'])}",
+                                "bucket=*", "*.parquet",
+                            )
+                        )
+                    )
+                )
+        salt_col = "range_id"
+    else:
+        if not all(os.path.isdir(d) for d in gdirs):
+            return None
+        files = []
+        for d in gdirs:
+            files.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
+        salt_col = "salt"
+
+    cols = ["term", salt_col, "n_docs", "doc_blob", "tf_blob", "dl_blob"]
+    if files:
+        tbl = pads.dataset(files, format="parquet").to_table(columns=cols)
+    else:
+        tbl = pa.table({c: [] for c in cols})
+    terms_v = tbl.column("term").to_numpy(zero_copy_only=False)
+    salts_v = tbl.column(salt_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    ndocs_v = tbl.column("n_docs").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_v = tbl.column("doc_blob").to_pylist()
+    tf_v = tbl.column("tf_blob").to_pylist()
+    dl_v = tbl.column("dl_blob").to_pylist()
+
+    # ---- split set: dictionary-heavy terms ∪ already-salted input terms ----
+    heavy_set: set = set()
+    if os.path.isdir(paths.terms):
+        tfiles = sorted(_glob.glob(os.path.join(paths.terms, "*.parquet")))
+        if tfiles:
+            td = pads.dataset(tfiles, format="parquet").to_table(
+                columns=["term", "heavy"],
+                filter=pads.field("heavy") == True,  # noqa: E712
+            )
+            heavy_set = set(td.column("term").to_pylist())
+    split_set = heavy_set | {t for t, s in zip(terms_v, salts_v) if s >= 0}
+
+    # ---- reclassify + merge + pack, fully batched (merge.py kernel) ----
+    tomb = None
+    if tombstones is not None and len(tombstones):
+        tomb = np.sort(np.asarray(tombstones, np.int64))
+    cols_out = merge_rows_columnar(
+        terms_v, salts_v, ndocs_v, doc_v, tf_v, dl_v, cfg,
+        split_terms=split_set, tomb=tomb,
+    )
+    rows_map = segment_columns_to_rows(cols_out)
+    import pandas as pd
+
+    rows_df = pd.DataFrame(rows_map)
+    rows_df = rows_df.sort_values(
+        ["bucket", "term", "range_id"], ignore_index=True
+    )
+    n_rows = len(rows_df)
+    postings_out = int(rows_df["n_docs"].sum()) if n_rows else 0
+
+    gdir = os.path.join(paths.segments, f"gen={gen_id}")
+    if os.path.isdir(gdir):  # crash leftover from an uncommitted attempt
+        import shutil
+
+        shutil.rmtree(gdir, ignore_errors=True)
+    if n_rows:
+        list_i64 = pa.list_(pa.int64())
+        schema = pa.schema(
+            [
+                ("term", pa.string()),
+                ("range_id", pa.int64()),
+                ("n_docs", pa.int64()),
+                ("tf_sum", pa.int64()),
+                ("doc_blob", pa.binary()),
+                ("tf_blob", pa.binary()),
+                ("dl_blob", pa.binary()),
+                ("block_last", list_i64),
+                ("block_doc_off", list_i64),
+                ("block_tf_off", list_i64),
+                ("block_dl_off", list_i64),
+                ("front_tf", list_i64),
+                ("front_dl", list_i64),
+                ("front_off", list_i64),
+                ("max_tf", pa.int64()),
+                ("min_dl", pa.int64()),
+            ]
+        )
+        file_cols = [c for c in SEGMENT_COLS if c != "bucket"]
+        for bkt, grp in rows_df.groupby("bucket", sort=True):
+            bdir = os.path.join(gdir, f"bucket={int(bkt)}")
+            os.makedirs(bdir, exist_ok=True)
+            btbl = pa.table(
+                {c: grp[c].tolist() for c in file_cols}, schema=schema
+            )
+            blob_bytes = int(
+                sum(len(b) for b in grp["doc_blob"])
+                + sum(len(b) for b in grp["tf_blob"])
+                + sum(len(b) for b in grp["dl_blob"])
+                + 200 * len(grp)
+            )
+            rg_rows = max(16, int(len(grp) * (1 << 20) / max(blob_bytes, 1)))
+            papq.write_table(
+                btbl,
+                os.path.join(bdir, "part-00000.parquet"),
+                row_group_size=min(rg_rows, len(grp)),
+                compression="snappy",
+            )
+    return {
+        "gen": int(gen_id),
+        "groups": [int(g) for g in group_ids],
+        "rows": n_rows,
+        "postings": postings_out,
+        "bytes": dir_bytes(gdir),
+    }
+
+
 def merge_groups_to_generation(
     spark: SparkSession,
     paths: IndexPaths,
@@ -233,6 +404,24 @@ def merge_groups_to_generation(
     during the merge — the purge path of the delete lifecycle
     (Lucene-style: deletes are tombstones until a merge rewrites the
     affected rows)."""
+    # Budget-sized inputs (appends, small compactions/purges) merge on
+    # the driver with zero Spark jobs — identical output rows, ~10 Spark
+    # stages of fixed overhead saved (dominant at O(batch) input sizes).
+    if source_gens is not None:
+        _in_postings = sum(int(g.get("postings", 0) or 0) for g in source_gens)
+    else:
+        _in_postings = sum(
+            int((read_manifest(paths.root, f"runs_group_{g}") or {}).get("postings", 0) or 0)
+            for g in group_ids
+        )
+    if _in_postings <= DRIVER_MERGE_MAX_POSTINGS:
+        gd = _driver_merge_to_generation(
+            paths, cfg, group_ids, gen_id, source_gens=source_gens,
+            tombstones=tombstones,
+        )
+        if gd is not None:
+            return gd
+
     gdirs = [os.path.join(paths.runs, f"group={g}") for g in group_ids]
     if source_gens is not None and not all(os.path.isdir(d) for d in gdirs):
         src_dirs = [
@@ -279,8 +468,6 @@ def merge_groups_to_generation(
         .union(runs_raw.filter(F.col("salt") >= 0).select("term"))
         .distinct()
     )
-    from pyspark import StorageLevel
-
     tomb_bc = None
     if tombstones is not None and len(tombstones):
         import numpy as np
@@ -301,18 +488,14 @@ def merge_groups_to_generation(
             for g in group_ids
         )
     merge_parts = max(1, min(cfg.build_partitions, in_postings // 250_000 + 1))
-    runs = reclassify_runs(runs_raw, split_terms, cfg).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    light = merge_light_runs(
-        runs.filter(F.col("salt") == -1), cfg, merge_parts,
-        tombstones_bc=tomb_bc,
-    )
-    heavy = merge_heavy_runs(
-        runs.filter(F.col("salt") >= 0), cfg, merge_parts,
-        tombstones_bc=tomb_bc,
-    )
-    seg = light.unionByName(heavy)
+    runs = reclassify_runs(runs_raw, split_terms, cfg)
+    # one (term, salt)-keyed exchange merges light AND salted keys (light
+    # keys have constant salt = -1, so the unified key loses nothing) —
+    # the former two-branch plan paid two exchanges + two Python stages
+    # plus a persist of the reclassified runs to feed both branches
+    from dawnsearch_spark.operators.merge import merge_runs_segments
+
+    seg = merge_runs_segments(runs, cfg, merge_parts, tombstones_bc=tomb_bc)
     gdir = os.path.join(paths.segments, f"gen={gen_id}")
     (
         seg.repartition(merge_parts, "bucket")
@@ -328,7 +511,6 @@ def merge_groups_to_generation(
         .partitionBy("bucket")
         .parquet(gdir)
     )
-    runs.unpersist()
     import glob as _glob
 
     # an all-empty-content batch produces ZERO segment rows: the
