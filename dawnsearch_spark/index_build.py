@@ -158,6 +158,68 @@ def _plan_groups(
     return plan
 
 
+def _pa_files(path: str) -> list[str] | None:
+    """Local parquet part files of a directory, or None when the path is
+    not a plain local directory (callers fall back to Spark)."""
+    import glob as _glob
+
+    if "://" in path or not os.path.isdir(path):
+        return None
+    return sorted(_glob.glob(os.path.join(path, "*.parquet")))
+
+
+def _pa_read(path_or_files, columns=None):
+    """Driver-side pyarrow table read (no Spark job), or None."""
+    files = (
+        _pa_files(path_or_files)
+        if isinstance(path_or_files, str)
+        else path_or_files
+    )
+    if files is None:
+        return None
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    if not files:
+        return pa.table({c: [] for c in (columns or [])})
+    return pads.dataset(files, format="parquet").to_table(columns=columns)
+
+
+def _pa_count_max(path: str, col: str) -> tuple[int, int | None] | None:
+    """(row count, max(col)) from parquet FOOTER metadata only — the
+    exact values a Spark count/max job returns, read without a job.
+    None when the directory is not local or any row group lacks
+    statistics (caller falls back to Spark)."""
+    files = _pa_files(path)
+    if files is None:
+        return None
+    import pyarrow.parquet as papq
+
+    total = 0
+    mx: int | None = None
+    for f in files:
+        md = papq.ParquetFile(f).metadata
+        total += md.num_rows
+        if md.num_rows == 0:
+            continue
+        ci = None
+        rg0 = md.row_group(0)
+        for j in range(rg0.num_columns):
+            if rg0.column(j).path_in_schema == col:
+                ci = j
+                break
+        if ci is None:
+            return None
+        for rg in range(md.num_row_groups):
+            c = md.row_group(rg).column(ci)
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                return None
+            v = int(st.max)
+            mx = v if mx is None else max(mx, v)
+    return total, mx
+
+
 def gc_run_dirs(root: str, log=lambda m: None) -> list[int]:
     """Delete run-group directories whose postings are fully recoverable
     from the index itself: the group is folded into the committed term
@@ -519,12 +581,24 @@ def merge_groups_to_generation(
     # (readers skip rows == 0 generations entirely)
     files = _glob.glob(os.path.join(gdir, "bucket=*", "*.parquet"))
     if files:
-        back = spark.read.parquet(gdir)
-        agg = back.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum("n_docs").alias("postings"),
-        ).collect()[0]
-        rows, postings = int(agg["rows"]), int(agg["postings"] or 0)
+        _bt = _pa_read(sorted(files), columns=["n_docs"]) if "://" not in gdir else None
+        if _bt is not None:
+            rows = _bt.num_rows
+            postings = (
+                int(_bt.column("n_docs").to_numpy(zero_copy_only=False).sum())
+                if rows
+                else 0
+            )
+        else:
+            agg = (
+                spark.read.parquet(gdir)
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum("n_docs").alias("postings"),
+                )
+                .collect()[0]
+            )
+            rows, postings = int(agg["rows"]), int(agg["postings"] or 0)
     else:
         rows, postings = 0, 0
     return {
@@ -534,6 +608,392 @@ def merge_groups_to_generation(
         "postings": postings,
         "bytes": dir_bytes(gdir),
     }
+
+
+#: Metadata-row budget for the DRIVER-SIDE stage-1b dictionary path: the
+#: dictionary update is a pure metadata aggregate (term, n_docs, tf_sum
+#: over runs/segment rows), so under the budget it runs in-process via
+#: pyarrow + pandas — identical sums, no Spark jobs. Larger corpora (or
+#: remote indexes) take the distributed aggregation unchanged.
+DRIVER_DICT_MAX_ROWS = int(
+    os.environ.get("DAWNSEARCH_SPARK_DRIVER_DICT_ROWS", 6_000_000)
+)
+
+
+def _write_stats_manifest(
+    paths: IndexPaths, fp: str, eff_heavy: int, n_docs_total: int,
+    n_terms: int, n_heavy: int, n_postings: int, total_tokens: int, log,
+) -> None:
+    write_manifest(
+        paths.root,
+        "stats",
+        {
+            "fingerprint": fp,
+            "n_docs": n_docs_total,
+            "avgdl": total_tokens / n_docs_total if n_docs_total else 0.0,
+            "total_tokens": total_tokens,
+            "n_terms": int(n_terms),
+            "n_heavy_terms": int(n_heavy),
+            "n_postings": int(n_postings),
+            "heavy_df_threshold": eff_heavy,
+        },
+    )
+    log(
+        f"stage1b stats committed: n_docs={n_docs_total} "
+        f"total_tokens={total_tokens} heavy={int(n_heavy)}"
+    )
+
+
+def _stage1b_driver(
+    spark: SparkSession,
+    paths: IndexPaths,
+    cfg: EngineConfig,
+    fp: str,
+    eff_heavy: int,
+    all_ids: set,
+    t_covered: set | None,
+    n_docs_total: int,
+    log,
+) -> bool:
+    """Driver-side (zero-Spark-job) stage-1b: dictionary update + stats
+    from metadata read via pyarrow, pandas-aggregated. Sums over disjoint
+    doc sets are exact, so df/cf/heavy/bucket come out value-identical to
+    the distributed aggregation. Returns False (fall back to
+    :func:`_stage1b_spark`) for remote indexes or over-budget inputs."""
+    import glob as _glob
+
+    import numpy as np
+
+    if "://" in paths.root:
+        return False
+    import pandas as pd
+
+    from dawnsearch_spark.operators.merge import term_bucket_py
+
+    def _run_dir(g: int) -> str:
+        return os.path.join(paths.runs, f"group={g}")
+
+    def _finish_and_commit(agg: "pd.DataFrame") -> bool:
+        """agg: index=term, columns df/cf -> write dict + manifests."""
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+        import shutil
+
+        agg = agg.sort_index()
+        terms = agg.index.to_numpy(dtype=object)
+        df_v = agg["df"].to_numpy(np.int64)
+        cf_v = agg["cf"].to_numpy(np.int64)
+        heavy_v = df_v > eff_heavy
+        bucket_v = np.fromiter(
+            (term_bucket_py(str(t), cfg.num_term_buckets) for t in terms),
+            np.int64,
+            len(terms),
+        )
+        schema = pa.schema(
+            [
+                ("term", pa.string()),
+                ("df", pa.int64()),
+                ("cf", pa.int64()),
+                ("heavy", pa.bool_()),
+                ("bucket", pa.int64()),
+            ]
+        )
+        tbl = pa.table(
+            {
+                "term": terms, "df": df_v, "cf": cf_v,
+                "heavy": heavy_v, "bucket": bucket_v,
+            },
+            schema=schema,
+        )
+        tmp = paths.terms + "_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        papq.write_table(
+            tbl, os.path.join(tmp, "part-00000.parquet"), compression="snappy"
+        )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        shutil.rmtree(paths.terms, ignore_errors=True)
+        os.rename(tmp, paths.terms)
+        spark.catalog.refreshByPath(paths.terms)
+        write_manifest(
+            paths.root,
+            "terms",
+            {"fingerprint": fp, "groups": sorted(int(g) for g in all_ids)},
+        )
+        _write_stats_manifest(
+            paths, fp, eff_heavy, n_docs_total,
+            n_terms=len(terms), n_heavy=int(heavy_v.sum()),
+            n_postings=int(df_v.sum()), total_tokens=int(cf_v.sum()), log=log,
+        )
+        return True
+
+    meta_cols = ["term", "n_docs", "tf_sum"]
+
+    if t_covered == all_ids and _has_success(paths.terms):
+        # dictionary already current: stats recount only
+        tb = _pa_read(paths.terms, columns=["df", "cf", "heavy"])
+        if tb is None:
+            return False
+        df_v = tb.column("df").to_numpy(zero_copy_only=False)
+        cf_v = tb.column("cf").to_numpy(zero_copy_only=False)
+        hv = tb.column("heavy").to_numpy(zero_copy_only=False)
+        log("stage1b dictionary already covers the plan; stats recount only")
+        _write_stats_manifest(
+            paths, fp, eff_heavy, n_docs_total,
+            n_terms=tb.num_rows, n_heavy=int(hv.sum()),
+            n_postings=int(df_v.sum()), total_tokens=int(cf_v.sum()), log=log,
+        )
+        return True
+
+    if (
+        t_covered is not None
+        and t_covered
+        and t_covered < all_ids
+        and _has_success(paths.terms)
+    ):
+        new_ids = sorted(all_ids - t_covered)
+        delta_rows = sum(
+            int((read_manifest(paths.root, f"runs_group_{g}") or {}).get("rows", 0) or 0)
+            for g in new_ids
+        )
+        if delta_rows > DRIVER_DICT_MAX_ROWS:
+            return False
+        old = _pa_read(paths.terms, columns=["term", "df", "cf"])
+        if old is None or old.num_rows > DRIVER_DICT_MAX_ROWS:
+            return False
+        dfiles: list[str] = []
+        for g in new_ids:
+            fl = _pa_files(_run_dir(g))
+            if fl is None:
+                return False
+            dfiles.extend(fl)
+        delta = _pa_read(dfiles, columns=meta_cols)
+        dpd = delta.to_pandas()
+        dagg = dpd.groupby("term", sort=False).agg(
+            df=("n_docs", "sum"), cf=("tf_sum", "sum")
+        )
+        opd = old.to_pandas().set_index("term")[["df", "cf"]]
+        agg = opd.add(dagg, fill_value=0).astype(np.int64)
+        log(
+            f"stage1b dictionary updated incrementally: groups {new_ids} "
+            "folded into the committed dictionary (old runs untouched)"
+        )
+        return _finish_and_commit(agg)
+
+    # full re-aggregation (first build / purge / crash recovery): same
+    # per-generation-all-or-nothing source selection as the Spark path
+    seg_m_now = read_manifest(paths.root, "segments") or {}
+    gen_list = (
+        list(seg_m_now.get("generations") or [])
+        if seg_m_now.get("fingerprint") == fp
+        else []
+    )
+    used_gens: list[dict] = []
+    gen_covered: set = set()
+    for gdict in gen_list:
+        gids = {int(x) for x in gdict["groups"]}
+        if not all(os.path.isdir(_run_dir(g)) for g in gids):
+            used_gens.append(gdict)
+            gen_covered |= gids
+    runs_groups = sorted(g for g in all_ids if g not in gen_covered)
+    if any(not os.path.isdir(_run_dir(g)) for g in runs_groups):
+        return False  # let the Spark path raise its precise error
+    src_rows = sum(
+        int((read_manifest(paths.root, f"runs_group_{g}") or {}).get("rows", 0) or 0)
+        for g in runs_groups
+    ) + sum(int(g.get("rows", 0) or 0) for g in used_gens)
+    if src_rows > DRIVER_DICT_MAX_ROWS:
+        return False
+    files: list[str] = []
+    for g in runs_groups:
+        fl = _pa_files(_run_dir(g))
+        if fl is None:
+            return False
+        files.extend(fl)
+    for gdict in used_gens:
+        if int(gdict.get("rows", 0) or 0) > 0:
+            files.extend(
+                sorted(
+                    _glob.glob(
+                        os.path.join(
+                            paths.segments, f"gen={int(gdict['gen'])}",
+                            "bucket=*", "*.parquet",
+                        )
+                    )
+                )
+            )
+    meta = _pa_read(files, columns=meta_cols)
+    mpd = meta.to_pandas()
+    if len(mpd):
+        agg = mpd.groupby("term", sort=False).agg(
+            df=("n_docs", "sum"), cf=("tf_sum", "sum")
+        )
+    else:
+        agg = pd.DataFrame(
+            {"df": pd.Series(dtype="int64"), "cf": pd.Series(dtype="int64")}
+        )
+        agg.index.name = "term"
+    if used_gens:
+        log(
+            "stage1b dictionary rebuilt from segment rows for GC'd groups "
+            f"{sorted(gen_covered)}"
+            + (f" + run groups {runs_groups}" if runs_groups else "")
+        )
+    return _finish_and_commit(agg)
+
+
+def _stage1b_spark(
+    spark: SparkSession,
+    paths: IndexPaths,
+    cfg: EngineConfig,
+    fp: str,
+    eff_heavy: int,
+    all_ids: set,
+    t_covered: set | None,
+    n_docs_total: int,
+    log,
+) -> None:
+    """Distributed stage-1b dictionary + stats commit (fallback when the
+    driver-side metadata path is over budget or the index is remote)."""
+    agg_cols = [
+        F.sum("n_docs").cast("long").alias("df"),
+        F.sum("tf_sum").cast("long").alias("cf"),
+    ]
+    finish = lambda df_: (
+        df_.withColumn("heavy", F.col("df") > F.lit(eff_heavy)).withColumn(
+            "bucket", F.pmod(F.crc32(F.col("term")), F.lit(cfg.num_term_buckets))
+        )
+    )
+    if t_covered == all_ids and _has_success(paths.terms):
+        # dictionary already current (crash after the dict swap but
+        # before the stats manifest): only recompute the stats below
+        log("stage1b dictionary already covers the plan; stats recount only")
+    elif (
+        t_covered is not None
+        and t_covered
+        and t_covered < all_ids
+        and _has_success(paths.terms)
+    ):
+        new_ids = sorted(all_ids - t_covered)
+        delta = (
+            spark.read.option("basePath", paths.runs)
+            .parquet(*[os.path.join(paths.runs, f"group={g}") for g in new_ids])
+            .select("term", "n_docs", "tf_sum")
+            .groupBy("term")
+            .agg(*agg_cols)
+        )
+        old = spark.read.parquet(paths.terms).select("term", "df", "cf")
+        dict_df = finish(
+            old.unionByName(delta.selectExpr("term", "df", "cf"))
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
+        )
+        tmp = paths.terms + "_tmp"
+        dict_df.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(paths.terms, ignore_errors=True)
+        os.rename(tmp, paths.terms)
+        spark.catalog.refreshByPath(paths.terms)
+        log(
+            f"stage1b dictionary updated incrementally: groups {new_ids} "
+            f"folded into the committed dictionary (old runs untouched)"
+        )
+    else:
+        # Full re-aggregation. Sources per GENERATION all-or-nothing
+        # (a generation's segment rows cannot be attributed to
+        # individual groups): any generation with a GC'd member group
+        # contributes its segment rows — df = Σ n_docs and
+        # cf = Σ tf_sum hold identically there (disjoint doc sets,
+        # rows carry the same tf_sum partial as runs) — and every
+        # group outside those generations must still have its run dir.
+        def _run_dir(g: int) -> str:
+            return os.path.join(paths.runs, f"group={g}")
+
+        seg_m_now = read_manifest(paths.root, "segments") or {}
+        gen_list = (
+            list(seg_m_now.get("generations") or [])
+            if seg_m_now.get("fingerprint") == fp
+            else []
+        )
+        used_gens: list[dict] = []
+        gen_covered: set[int] = set()
+        for gdict in gen_list:
+            gids = {int(x) for x in gdict["groups"]}
+            if not all(os.path.isdir(_run_dir(g)) for g in gids):
+                used_gens.append(gdict)
+                gen_covered |= gids
+        runs_groups = sorted(g for g in all_ids if g not in gen_covered)
+        missing = [g for g in runs_groups if not os.path.isdir(_run_dir(g))]
+        if missing:
+            raise FileNotFoundError(
+                f"dictionary rebuild: run groups {missing} have neither "
+                "run dirs nor a committed segment generation"
+            )
+        parts = []
+        if runs_groups:
+            parts.append(
+                spark.read.option("basePath", paths.runs)
+                .parquet(*[_run_dir(g) for g in runs_groups])
+                .select("term", "n_docs", "tf_sum")
+            )
+        seg_dirs = [
+            os.path.join(paths.segments, f"gen={int(g['gen'])}")
+            for g in used_gens
+            if int(g.get("rows", 0)) > 0
+        ]
+        if seg_dirs:
+            parts.append(
+                spark.read.option("basePath", paths.segments)
+                .parquet(*seg_dirs)
+                .select("term", "n_docs", "tf_sum")
+            )
+        if parts:
+            runs_meta = parts[0]
+            for p in parts[1:]:
+                runs_meta = runs_meta.unionByName(p)
+            if used_gens:
+                log(
+                    "stage1b dictionary rebuilt from segment rows for "
+                    f"GC'd groups {sorted(gen_covered)}"
+                    + (f" + run groups {runs_groups}" if runs_groups else "")
+                )
+        else:  # empty corpus: no runs were written
+            runs_meta = spark.createDataFrame(
+                [], "term string, n_docs long, tf_sum long"
+            )
+        dict_df = finish(runs_meta.groupBy("term").agg(*agg_cols))
+        dict_df.write.mode("overwrite").parquet(paths.terms)
+    write_manifest(
+        paths.root,
+        "terms",
+        {"fingerprint": fp, "groups": sorted(int(g) for g in all_ids)},
+    )
+    tstats = spark.read.parquet(paths.terms).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.col("heavy").cast("int")).alias("n_heavy"),
+        F.sum("df").alias("n_postings"),
+        F.sum("cf").alias("total_tokens"),
+    ).collect()[0]
+    total_tokens = int(tstats["total_tokens"] or 0)
+    write_manifest(
+        paths.root,
+        "stats",
+        {
+            "fingerprint": fp,
+            "n_docs": n_docs_total,
+            "avgdl": total_tokens / n_docs_total if n_docs_total else 0.0,
+            "total_tokens": total_tokens,
+            "n_terms": int(tstats["n_terms"]),
+            "n_heavy_terms": int(tstats["n_heavy"] or 0),
+            "n_postings": int(tstats["n_postings"] or 0),
+            "heavy_df_threshold": eff_heavy,
+        },
+    )
+    log(
+        f"stage1b stats committed: n_docs={n_docs_total} total_tokens={total_tokens} "
+        f"heavy={int(tstats['n_heavy'] or 0)}"
+    )
 
 
 def build_index(
@@ -707,13 +1167,19 @@ def build_index(
         and _has_success(paths.terms)
     )
     if dict_ok:
-        committed_heavy = frozenset(
-            r["term"]
-            for r in spark.read.parquet(paths.terms)
-            .filter(F.col("heavy"))
-            .select("term")
-            .collect()
-        )
+        _tb = _pa_read(paths.terms, columns=["term", "heavy"])
+        if _tb is not None:  # driver-side read: no Spark job per append
+            _hv = _tb.column("heavy").to_numpy(zero_copy_only=False)
+            _tv = _tb.column("term").to_numpy(zero_copy_only=False)
+            committed_heavy = frozenset(_tv[_hv])
+        else:
+            committed_heavy = frozenset(
+                r["term"]
+                for r in spark.read.parquet(paths.terms)
+                .filter(F.col("heavy"))
+                .select("term")
+                .collect()
+            )
         sample_lo = pending_lo
         n_sample_docs = max(0, id_space - pending_lo)
     else:
@@ -786,14 +1252,28 @@ def build_index(
             )
         gdir = os.path.join(paths.runs, f"group={g}")
         runs.write.mode("overwrite").parquet(gdir)
-        back = spark.read.parquet(gdir)
         # counters: rows + postings only (countDistinct(term) would be an
         # extra full shuffle just for a lineage counter; run-rows-per-term
-        # is recoverable from the terms dictionary if ever needed)
-        agg = back.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum("n_docs").alias("postings"),
-        ).collect()[0]
+        # is recoverable from the terms dictionary if ever needed).
+        # Driver-side pyarrow read of the one metadata column — the Spark
+        # readback job was pure fixed overhead per append.
+        _rt = _pa_read(gdir, columns=["n_docs"])
+        if _rt is not None:
+            agg = {
+                "rows": _rt.num_rows,
+                "postings": int(
+                    _rt.column("n_docs").to_numpy(zero_copy_only=False).sum()
+                ) if _rt.num_rows else 0,
+            }
+        else:
+            agg = (
+                spark.read.parquet(gdir)
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum("n_docs").alias("postings"),
+                )
+                .collect()[0]
+            )
         write_manifest(
             paths.root,
             name,
@@ -852,145 +1332,14 @@ def build_index(
             and "groups" in terms_m
         ):
             t_covered = {int(x) for x in terms_m["groups"]}
-        agg_cols = [
-            F.sum("n_docs").cast("long").alias("df"),
-            F.sum("tf_sum").cast("long").alias("cf"),
-        ]
-        finish = lambda df_: (
-            df_.withColumn("heavy", F.col("df") > F.lit(eff_heavy)).withColumn(
-                "bucket", F.pmod(F.crc32(F.col("term")), F.lit(cfg.num_term_buckets))
-            )
-        )
-        if t_covered == all_ids and _has_success(paths.terms):
-            # dictionary already current (crash after the dict swap but
-            # before the stats manifest): only recompute the stats below
-            log("stage1b dictionary already covers the plan; stats recount only")
-        elif (
-            t_covered is not None
-            and t_covered
-            and t_covered < all_ids
-            and _has_success(paths.terms)
+        if not _stage1b_driver(
+            spark, paths, cfg, fp, eff_heavy, all_ids, t_covered,
+            n_docs_total, log,
         ):
-            new_ids = sorted(all_ids - t_covered)
-            delta = (
-                spark.read.option("basePath", paths.runs)
-                .parquet(*[os.path.join(paths.runs, f"group={g}") for g in new_ids])
-                .select("term", "n_docs", "tf_sum")
-                .groupBy("term")
-                .agg(*agg_cols)
+            _stage1b_spark(
+                spark, paths, cfg, fp, eff_heavy, all_ids, t_covered,
+                n_docs_total, log,
             )
-            old = spark.read.parquet(paths.terms).select("term", "df", "cf")
-            dict_df = finish(
-                old.unionByName(delta.selectExpr("term", "df", "cf"))
-                .groupBy("term")
-                .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
-            )
-            tmp = paths.terms + "_tmp"
-            dict_df.write.mode("overwrite").parquet(tmp)
-            import shutil
-
-            shutil.rmtree(paths.terms, ignore_errors=True)
-            os.rename(tmp, paths.terms)
-            spark.catalog.refreshByPath(paths.terms)
-            log(
-                f"stage1b dictionary updated incrementally: groups {new_ids} "
-                f"folded into the committed dictionary (old runs untouched)"
-            )
-        else:
-            # Full re-aggregation. Sources per GENERATION all-or-nothing
-            # (a generation's segment rows cannot be attributed to
-            # individual groups): any generation with a GC'd member group
-            # contributes its segment rows — df = Σ n_docs and
-            # cf = Σ tf_sum hold identically there (disjoint doc sets,
-            # rows carry the same tf_sum partial as runs) — and every
-            # group outside those generations must still have its run dir.
-            def _run_dir(g: int) -> str:
-                return os.path.join(paths.runs, f"group={g}")
-
-            seg_m_now = read_manifest(paths.root, "segments") or {}
-            gen_list = (
-                list(seg_m_now.get("generations") or [])
-                if seg_m_now.get("fingerprint") == fp
-                else []
-            )
-            used_gens: list[dict] = []
-            gen_covered: set[int] = set()
-            for gdict in gen_list:
-                gids = {int(x) for x in gdict["groups"]}
-                if not all(os.path.isdir(_run_dir(g)) for g in gids):
-                    used_gens.append(gdict)
-                    gen_covered |= gids
-            runs_groups = sorted(g for g in all_ids if g not in gen_covered)
-            missing = [g for g in runs_groups if not os.path.isdir(_run_dir(g))]
-            if missing:
-                raise FileNotFoundError(
-                    f"dictionary rebuild: run groups {missing} have neither "
-                    "run dirs nor a committed segment generation"
-                )
-            parts = []
-            if runs_groups:
-                parts.append(
-                    spark.read.option("basePath", paths.runs)
-                    .parquet(*[_run_dir(g) for g in runs_groups])
-                    .select("term", "n_docs", "tf_sum")
-                )
-            seg_dirs = [
-                os.path.join(paths.segments, f"gen={int(g['gen'])}")
-                for g in used_gens
-                if int(g.get("rows", 0)) > 0
-            ]
-            if seg_dirs:
-                parts.append(
-                    spark.read.option("basePath", paths.segments)
-                    .parquet(*seg_dirs)
-                    .select("term", "n_docs", "tf_sum")
-                )
-            if parts:
-                runs_meta = parts[0]
-                for p in parts[1:]:
-                    runs_meta = runs_meta.unionByName(p)
-                if used_gens:
-                    log(
-                        "stage1b dictionary rebuilt from segment rows for "
-                        f"GC'd groups {sorted(gen_covered)}"
-                        + (f" + run groups {runs_groups}" if runs_groups else "")
-                    )
-            else:  # empty corpus: no runs were written
-                runs_meta = spark.createDataFrame(
-                    [], "term string, n_docs long, tf_sum long"
-                )
-            dict_df = finish(runs_meta.groupBy("term").agg(*agg_cols))
-            dict_df.write.mode("overwrite").parquet(paths.terms)
-        write_manifest(
-            paths.root,
-            "terms",
-            {"fingerprint": fp, "groups": sorted(int(g) for g in all_ids)},
-        )
-        tstats = spark.read.parquet(paths.terms).agg(
-            F.count(F.lit(1)).alias("n_terms"),
-            F.sum(F.col("heavy").cast("int")).alias("n_heavy"),
-            F.sum("df").alias("n_postings"),
-            F.sum("cf").alias("total_tokens"),
-        ).collect()[0]
-        total_tokens = int(tstats["total_tokens"] or 0)
-        write_manifest(
-            paths.root,
-            "stats",
-            {
-                "fingerprint": fp,
-                "n_docs": n_docs_total,
-                "avgdl": total_tokens / n_docs_total if n_docs_total else 0.0,
-                "total_tokens": total_tokens,
-                "n_terms": int(tstats["n_terms"]),
-                "n_heavy_terms": int(tstats["n_heavy"] or 0),
-                "n_postings": int(tstats["n_postings"] or 0),
-                "heavy_df_threshold": eff_heavy,
-            },
-        )
-        log(
-            f"stage1b stats committed: n_docs={n_docs_total} total_tokens={total_tokens} "
-            f"heavy={int(tstats['n_heavy'] or 0)}"
-        )
     stats = load_stats(paths.root)
     terms_dict = spark.read.parquet(paths.terms)
     heavy_terms = terms_dict.filter(F.col("heavy"))

@@ -73,13 +73,21 @@ def append_documents(
     missing — same recovery path adopts the appended rows (their ids are
     dense on top of the old max). Duplicate doc_ids can never be minted.
     """
+    from dawnsearch_spark.index_build import _pa_count_max
+
     paths = IndexPaths(index_root)
     existing = spark.read.parquet(paths.documents)
-    agg = existing.agg(
-        F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
-    ).collect()[0]
-    n_existing = int(agg["n"])
-    base = int(agg["mx"]) + 1 if agg["mx"] is not None else 0
+    # count/max from parquet footer statistics (exact — same values the
+    # Spark aggregate returns, without the per-append job)
+    cm = _pa_count_max(paths.documents, "doc_id")
+    if cm is not None:
+        n_existing, mx = cm
+    else:
+        agg = existing.agg(
+            F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
+        ).collect()[0]
+        n_existing, mx = int(agg["n"]), agg["mx"]
+    base = int(mx) + 1 if mx is not None else 0
     if base != n_existing:
         # docID holes are legal ONLY when the manifest recorded them
         # (purge_deletes); otherwise this still catches a corrupt index.
@@ -250,29 +258,59 @@ def _swap_tombstone_set(
     Returns the new set's size."""
     import shutil
 
+    import numpy as np
+
     paths = IndexPaths(index_root)
     d = os.path.join(index_root, "tombstones")
     tmp, old_dir = d + "_tmp", d + "_old"
-    out = spark.createDataFrame(
-        [(int(x),) for x in add_ids], "doc_id long"
-    )
-    src = tombstone_dir(index_root)
-    if src is not None:
-        out = spark.read.parquet(src).select("doc_id").unionByName(out)
-    out = out.dropDuplicates(["doc_id"])
-    rm = list(remove_ids)
-    if rm:
-        out = out.join(
-            F.broadcast(
-                spark.createDataFrame([(int(x),) for x in rm], "doc_id long")
-            ),
-            "doc_id",
-            "left_anti",
+    from dawnsearch_spark.manifest import read_manifest
+
+    cur_count = int((read_manifest(index_root, "tombstones") or {}).get("count", 0))
+    if "://" not in index_root and cur_count <= 10_000_000:
+        # driver fast path: the set is budget-sized (it is bounded between
+        # purges, and delete/upsert callers already materialize it for the
+        # merge), so the union/minus is one NumPy pass and the tmp write is
+        # one pyarrow file — no Spark jobs. Same tmp-write -> two-rename
+        # swap; readers see a sorted unique doc_id parquet either way.
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        cur = tombstone_ids(index_root)
+        add = np.asarray(sorted({int(x) for x in add_ids}), np.int64)
+        merged = np.unique(np.concatenate([cur, add])) if len(add) else cur
+        rm = np.asarray(sorted({int(x) for x in remove_ids}), np.int64)
+        if len(rm):
+            merged = np.setdiff1d(merged, rm, assume_unique=False)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        papq.write_table(
+            pa.table({"doc_id": merged}, schema=pa.schema([("doc_id", pa.int64())])),
+            os.path.join(tmp, "part-00000.parquet"),
+            compression="snappy",
         )
-    out.coalesce(1).write.mode("overwrite").parquet(tmp)
-    n = int(
-        spark.read.parquet(tmp).count() if expected is None else expected
-    )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        n = int(len(merged))
+    else:
+        out = spark.createDataFrame(
+            [(int(x),) for x in add_ids], "doc_id long"
+        )
+        src = tombstone_dir(index_root)
+        if src is not None:
+            out = spark.read.parquet(src).select("doc_id").unionByName(out)
+        out = out.dropDuplicates(["doc_id"])
+        rm = list(remove_ids)
+        if rm:
+            out = out.join(
+                F.broadcast(
+                    spark.createDataFrame([(int(x),) for x in rm], "doc_id long")
+                ),
+                "doc_id",
+                "left_anti",
+            )
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        n = int(
+            spark.read.parquet(tmp).count() if expected is None else expected
+        )
     shutil.rmtree(old_dir, ignore_errors=True)
     if os.path.isdir(d):
         os.rename(d, old_dir)
@@ -326,11 +364,17 @@ def upsert_documents(
         raise ValueError(
             f"match_cols {match_cols} must be a subset of id_cols {cfg.id_cols}"
         )
+    from dawnsearch_spark.index_build import _pa_count_max
+
     paths = IndexPaths(index_root)
     key_full = list(cfg.id_cols)
     existing = spark.read.parquet(paths.documents)
-    agg = existing.agg(F.max("doc_id").alias("mx")).collect()[0]
-    base = int(agg["mx"]) + 1 if agg["mx"] is not None else 0
+    _cm = _pa_count_max(paths.documents, "doc_id")
+    if _cm is not None:
+        mx = _cm[1]
+    else:
+        mx = existing.agg(F.max("doc_id").alias("mx")).collect()[0]["mx"]
+    base = int(mx) + 1 if mx is not None else 0
 
     # 0. recovery: stale staging masks from a crashed attempt mask ids
     # that do not exist yet — clear before re-deriving the plan
@@ -520,7 +564,12 @@ def purge_deletes(
     os.rename(tmp, paths.documents)
     shutil.rmtree(old_dir, ignore_errors=True)
     spark.catalog.refreshByPath(paths.documents)
-    n_live = spark.read.parquet(paths.documents).count()
+    from dawnsearch_spark.index_build import _pa_count_max
+
+    _cm = _pa_count_max(paths.documents, "doc_id")
+    n_live = (
+        _cm[0] if _cm is not None else spark.read.parquet(paths.documents).count()
+    )
     write_manifest(
         paths.root,
         "documents",
