@@ -43,8 +43,6 @@ from dawnsearch_spark.operators.text_analysis import (
     ws_token_count,
 )
 from dawnsearch_spark.operators.tf import (
-    corpus_stats,
-    doc_lengths,
     document_frequencies,
     term_frequencies,
 )
@@ -587,11 +585,88 @@ j AS (SELECT d.* FROM documents d JOIN m USING (doc_id))
 """
 
 
-def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
+def _corpus_rows(sf_dir: str) -> int | None:
+    """documents.parquet row count from parquet footer metadata (exact,
+    no Spark job); None -> caller falls back to docs.count()."""
+    p = f"{sf_dir}/documents.parquet"
+    try:
+        import glob
+
+        import pyarrow.parquet as papq
+
+        if os.path.isfile(p):
+            return papq.ParquetFile(p).metadata.num_rows
+        if os.path.isdir(p):
+            return sum(
+                papq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(os.path.join(p, "*.parquet"))
+            )
+    except Exception:
+        return None
+    return None
+
+
+def _tf_and_stats(spark: SparkSession, sf_dir: str):
+    """(docs, tf, stats) with ONE corpus tokenize: the scoring plans
+    consume the TF relation 2-4x (df aggregate, expansion, scoring join,
+    exclusion), and each reference otherwise re-runs the Arrow tokenize
+    over the whole corpus — so TF is persisted for the query's duration.
+    Stats derive from it exactly: n_docs is the corpus row count
+    (parquet-metadata count), total_tokens = sum(tf) because a doc's dl
+    is by definition the sum of its term frequencies (docs with zero
+    tokens contribute zero either way), and avgdl = total/n is the same
+    exact-integer-sum + single-float-division value corpus_stats computed
+    from the separate doc-length pass (every intermediate is < 2^53, so
+    the doubles are exact)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from dawnsearch_spark.operators.tf import CorpusStats
+
     docs = _docs(spark, sf_dir)
-    tf = term_frequencies(docs)
-    stats = corpus_stats(doc_lengths(docs))
+    tf = term_frequencies(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    n = _corpus_rows(sf_dir)
+    if n is None:
+        n = docs.count()
+    total = int(tf.agg(F.sum("tf")).collect()[0][0] or 0)
+    stats = CorpusStats(
+        n_docs=int(n), avgdl=total / n if n else 0.0, total_tokens=total
+    )
+    return docs, tf, stats
+
+
+def _pruned_tf_and_stats(spark: SparkSession, sf_dir: str, terms):
+    """(docs, tf, dfs, stats) from ONE tokenize pass emitting only the
+    given terms' TF rows plus per-batch token totals
+    (tf.term_frequencies_pruned). Values are identical to the full-TF
+    derivation: df/cf per kept term count the same rows, total_tokens is
+    the same Σ tf, avgdl the same single float division — but nothing
+    corpus-sized is shuffled or cached."""
+    from pyspark.storagelevel import StorageLevel
+
+    from dawnsearch_spark.operators.tf import CorpusStats, term_frequencies_pruned
+
+    docs = _docs(spark, sf_dir)
+    raw = term_frequencies_pruned(docs, terms).persist(StorageLevel.MEMORY_AND_DISK)
+    n = _corpus_rows(sf_dir)
+    if n is None:
+        n = docs.count()
+    total = int(
+        raw.filter(F.col("doc_id") < 0).agg(F.sum("tf")).collect()[0][0] or 0
+    )
+    tf = raw.filter(F.col("doc_id") >= 0)
     dfs = document_frequencies(tf)
+    stats = CorpusStats(
+        n_docs=int(n), avgdl=total / n if n else 0.0, total_tokens=total
+    )
+    return docs, tf, dfs, stats
+
+
+def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
+    from dawnsearch_spark.functions.tokenizer import tokenize_py
+
+    docs, tf, dfs, stats = _pruned_tf_and_stats(
+        spark, sf_dir, tokenize_py(query)
+    )
     top = bm25_exact_topk(tf, dfs, stats, query, CFG, k=k)
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
@@ -644,10 +719,9 @@ def q_boost_topk(spark, sf_dir):
     """Per-term float boosts (Lucene BoostQuery semantics): a
     ``{term: boost}`` bag where each boost multiplies the term's BM25
     contribution — honored end-to-end in float (query_terms_df/qtf)."""
-    docs = _docs(spark, sf_dir)
-    tf = term_frequencies(docs)
-    stats = corpus_stats(doc_lengths(docs))
-    dfs = document_frequencies(tf)
+    docs, tf, dfs, stats = _pruned_tf_and_stats(
+        spark, sf_dir, BOOST_QUERY.keys()
+    )
     top = bm25_exact_topk(tf, dfs, stats, BOOST_QUERY, CFG, k=10)
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
@@ -714,9 +788,11 @@ def q_phrase_topk(spark, sf_dir):
     matching docs). The oracle recomputes adjacency positionally in SQL."""
     from dawnsearch_spark.operators.boolquery import phrase_topk
 
-    docs = _docs(spark, sf_dir)
-    tf = term_frequencies(docs)
-    stats = corpus_stats(doc_lengths(docs))
+    from dawnsearch_spark.functions.tokenizer import tokenize_py
+
+    docs, tf, _dfs, stats = _pruned_tf_and_stats(
+        spark, sf_dir, tokenize_py(PHRASE_QUERY)
+    )
     top = phrase_topk(docs, tf, stats, PHRASE_QUERY, CFG)
     return top.select("doc_id", "phrase_tf", F.round("score", 6).alias("score"))
 
@@ -725,10 +801,14 @@ def q_bool_topk(spark, sf_dir):
     """Boolean BM25 top-10 (must/should/must_not, Lucene semantics)."""
     from dawnsearch_spark.operators.boolquery import boolean_topk
 
-    docs = _docs(spark, sf_dir)
-    tf = term_frequencies(docs)
-    stats = corpus_stats(doc_lengths(docs))
-    dfs = document_frequencies(tf)
+    from dawnsearch_spark.functions.tokenizer import tokenize_py
+
+    _bool_terms = {
+        t
+        for s_ in (BOOL_MUST + BOOL_SHOULD + BOOL_MUST_NOT)
+        for t in tokenize_py(s_)
+    }
+    docs, tf, dfs, stats = _pruned_tf_and_stats(spark, sf_dir, _bool_terms)
     top = boolean_topk(
         tf, dfs, stats, CFG,
         must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_MUST_NOT,
@@ -741,9 +821,7 @@ def q_prefix_topk(spark, sf_dir):
     term-dictionary expansion, highest-df first, then pure-OR scoring)."""
     from dawnsearch_spark.operators.boolquery import prefix_topk
 
-    docs = _docs(spark, sf_dir)
-    tf = term_frequencies(docs)
-    stats = corpus_stats(doc_lengths(docs))
+    docs, tf, stats = _tf_and_stats(spark, sf_dir)
     dfs = document_frequencies(tf)
     top = prefix_topk(tf, dfs, stats, PREFIX_QUERY, CFG)
     return top.select("doc_id", F.round("score", 6).alias("score"))
@@ -771,9 +849,7 @@ def q_fuzzy_topk(spark, sf_dir):
     checks expansion ordering, not just a single rewrite."""
     from dawnsearch_spark.operators.boolquery import fuzzy_topk
 
-    docs = _docs(spark, sf_dir)
-    tf = term_frequencies(docs)
-    stats = corpus_stats(doc_lengths(docs))
+    docs, tf, stats = _tf_and_stats(spark, sf_dir)
     dfs = document_frequencies(tf)
     top = fuzzy_topk(tf, dfs, stats, FUZZY_QUERY, CFG)
     return top.select("doc_id", F.round("score", 6).alias("score"))
@@ -804,9 +880,7 @@ def q_regex_topk(spark, sf_dir):
     ``regexp_full_match`` over the SQL-side dictionary."""
     from dawnsearch_spark.operators.boolquery import regex_topk
 
-    docs = _docs(spark, sf_dir)
-    tf = term_frequencies(docs)
-    stats = corpus_stats(doc_lengths(docs))
+    docs, tf, stats = _tf_and_stats(spark, sf_dir)
     dfs = document_frequencies(tf)
     top = regex_topk(tf, dfs, stats, REGEX_QUERY, CFG)
     return top.select("doc_id", F.round("score", 6).alias("score"))
@@ -831,9 +905,7 @@ def q_wildcard_topk(spark, sf_dir):
     translation (``*``->``.*``, ``?``->``.``) into the regex rewrite."""
     from dawnsearch_spark.operators.boolquery import wildcard_topk
 
-    docs = _docs(spark, sf_dir)
-    tf = term_frequencies(docs)
-    stats = corpus_stats(doc_lengths(docs))
+    docs, tf, stats = _tf_and_stats(spark, sf_dir)
     dfs = document_frequencies(tf)
     top = wildcard_topk(tf, dfs, stats, WILDCARD_QUERY, CFG)
     return top.select("doc_id", F.round("score", 6).alias("score"))
@@ -877,10 +949,10 @@ def q_synonym_topk(spark, sf_dir):
     documented contract; keeps a rare synonym from inflating idf)."""
     from dawnsearch_spark.operators.boolquery import synonym_topk
 
-    docs = _docs(spark, sf_dir)
-    tf = term_frequencies(docs)
-    stats = corpus_stats(doc_lengths(docs))
-    dfs = document_frequencies(tf)
+    from dawnsearch_spark.functions.tokenizer import tokenize_py
+
+    _syn_terms = {t for s_ in SYNONYM_GROUP for t in tokenize_py(s_)}
+    docs, tf, dfs, stats = _pruned_tf_and_stats(spark, sf_dir, _syn_terms)
     top = synonym_topk(tf, dfs, stats, SYNONYM_GROUP, CFG)
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
@@ -1125,9 +1197,9 @@ def q_near_topk(spark, sf_dir):
     every position pair in SQL."""
     from dawnsearch_spark.operators.boolquery import near_topk
 
-    docs = _docs(spark, sf_dir)
-    tf = term_frequencies(docs)
-    stats = corpus_stats(doc_lengths(docs))
+    docs, tf, _dfs, stats = _pruned_tf_and_stats(
+        spark, sf_dir, [NEAR_A, NEAR_B]
+    )
     top = near_topk(docs, tf, stats, NEAR_A, NEAR_B, NEAR_W, CFG)
     return top.select("doc_id", "prox_tf", F.round("score", 6).alias("score"))
 
@@ -1166,8 +1238,11 @@ def q_facet_counts(spark, sf_dir):
     single shuffle for any number of facet columns."""
     from dawnsearch_spark.operators.boolquery import facet_counts
 
-    docs = _docs(spark, sf_dir)
-    tf = term_frequencies(docs)
+    from dawnsearch_spark.functions.tokenizer import tokenize_py
+
+    docs, tf, _dfs, _stats = _pruned_tf_and_stats(
+        spark, sf_dir, tokenize_py(FACET_QUERY)
+    )
     return facet_counts(docs, tf, FACET_QUERY, ["lang", "source"])
 
 

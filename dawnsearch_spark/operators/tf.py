@@ -85,6 +85,36 @@ def term_frequencies(docs: DataFrame, content_col: str = "content") -> DataFrame
     return docs.select("doc_id", content_col).mapInPandas(gen, TF_SCHEMA)
 
 
+def term_frequencies_pruned(
+    docs: DataFrame, terms, content_col: str = "content"
+) -> DataFrame:
+    """(term, doc_id, dl, tf) rows for ONLY the given terms, plus one
+    summary row per Arrow batch (term='', doc_id=-1, dl=0,
+    tf=batch total tokens) so corpus totals ride in the same single
+    tokenize pass. A scoring query needs exactly: its terms' postings,
+    those terms' df (a count over the emitted rows), and the corpus
+    token total (Σ tf over ALL terms == Σ dl per doc) — none of which
+    requires shuffling or caching the full TF relation. Callers split on
+    the doc_id sign."""
+    tset = sorted({str(t) for t in terms})
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            t = tf_frame(pdf, content_col)
+            if not len(t):
+                continue
+            total = int(t["tf"].sum())
+            keep = t[t["term"].isin(tset)]
+            summary = pd.DataFrame(
+                {"term": [""], "doc_id": [-1], "dl": [0], "tf": [total]}
+            )
+            yield pd.concat([keep, summary], ignore_index=True)
+
+    return docs.select("doc_id", content_col).mapInPandas(gen, TF_SCHEMA)
+
+
 def term_frequency_partials(docs: DataFrame, content_col: str = "content") -> DataFrame:
     """Per-batch (term, df_part, cf_part) partial aggregates — the map-side
     combine for the term dictionary done in pandas, so the JVM aggregates
