@@ -661,6 +661,18 @@ def _pruned_tf_and_stats(spark: SparkSession, sf_dir: str, terms):
     return docs, tf, dfs, stats
 
 
+def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a small compressed source across the cluster before a
+    compute-heavy per-row scan: the driver tables arrive as a handful of
+    row-group splits (a 5 MB zstd text file = ~6 tasks), which serializes
+    codegen'd string/array expression chains onto a few cores no matter
+    how many exist. The repartition shuffles only the few-MB source;
+    results are row-identical (the gate comparison is order-insensitive).
+    Scale-adaptive: partition count follows the session's parallelism,
+    never a constant."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
     from dawnsearch_spark.functions.tokenizer import tokenize_py
 
@@ -1354,7 +1366,7 @@ def q_topk_orders(spark, sf_dir):
 
 def q_fingerprints(spark, sf_dir):
     """Exact-dup fingerprint groups (F11/J2 dedup key)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return (
         docs.select(normalized_fingerprint("text").alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
@@ -1364,7 +1376,7 @@ def q_fingerprints(spark, sf_dir):
 
 def q_text_features(spark, sf_dir):
     """Language-ID heuristic, quality score, token count per doc."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         ws_token_count("text").alias("n_tokens"),
@@ -1427,7 +1439,11 @@ def q_cosine_topk(spark, sf_dir):
     """ANN baseline: brute-force cosine top-10 vs the vec_id=0 embedding."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return cosine_topk(emb.filter(F.col("vec_id") != 0), [float(x) for x in qvec], k=10)
+    return cosine_topk(
+        _par(spark, emb.filter(F.col("vec_id") != 0)),
+        [float(x) for x in qvec],
+        k=10,
+    )
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -1511,7 +1527,7 @@ def q_repetition(spark, sf_dir):
     pipeline; native array exprs, no shuffle."""
     from dawnsearch_spark.operators.text_analysis import repetition_stats
 
-    return repetition_stats(_t(spark, sf_dir, "documents"), col="text")
+    return repetition_stats(_par(spark, _t(spark, sf_dir, "documents")), col="text")
 
 
 def q_quality_filter(spark, sf_dir):
@@ -1521,13 +1537,13 @@ def q_quality_filter(spark, sf_dir):
     twin recomputes every rule from first principles."""
     from dawnsearch_spark.operators.text_analysis import gopher_quality_filter
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return gopher_quality_filter(docs, col="text")
 
 
 def q_lang_token_stats(spark, sf_dir):
     """Per-lang token statistics (A3 counters analog)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return (
         docs.groupBy("lang")
         .agg(
@@ -1540,7 +1556,7 @@ def q_lang_token_stats(spark, sf_dir):
 
 def q_sha_integrity(spark, sf_dir):
     """A4: per-row sha256 integrity fingerprint of the corpus."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par(spark, _t(spark, sf_dir, "documents"))
     return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha"))
 
 
