@@ -65,9 +65,18 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_tag").asc(), *[F.col(c).asc() for c in right_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # all carried columns in ONE select: overwriting them iteratively
-    # would corrupt the window's tie-break ordering for later columns
-    carried = [F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in right_cols]
+    # carry ONE struct of all right columns with a single
+    # last(ignorenulls=True): independent per-column lasts would stitch
+    # values from DIFFERENT right rows whenever the most recent right row
+    # holds a NULL in one column — row-level as-of semantics require the
+    # whole row to ride together (and DuckDB's ASOF JOIN oracle agrees).
+    # The struct is built only for right rows (left rows contribute NULL,
+    # which ignorenulls skips), so the carry is exactly "latest right row".
+    rstruct = F.when(
+        F.col("_tag") == 0, F.struct(*[F.col(c) for c in right_cols])
+    )
+    carried_struct = F.last(rstruct, ignorenulls=True).over(w)
+    carried = [carried_struct[c].alias(c) for c in right_cols]
     keep = [F.col(c) for c in left.columns]
     return (
         u.select(*keep, F.col("_tag"), *carried)

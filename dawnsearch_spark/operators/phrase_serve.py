@@ -389,16 +389,21 @@ def positional_search_index(
             .select("doc_id")
         )
     else:
-        cand_df = spark.createDataFrame(
-            [(int(d),) for d in cand], "doc_id long"
-        )
+        # Arrow path: a driver-resident candidate set above the zero-job
+        # cap can hold 10^4-10^5 ids — shipping them as pickled Row tuples
+        # cost seconds per query; one Arrow batch is milliseconds
+        cand_df = spark.createDataFrame(pd.DataFrame({"doc_id": cand.astype("int64")}))
     if tombstones is not None:
         tomb_df = spark.createDataFrame(
-            [(int(d),) for d in np.asarray(tombstones)], "doc_id long"
+            pd.DataFrame({"doc_id": np.asarray(tombstones, np.int64)})
         )
         cand_df = cand_df.join(F.broadcast(tomb_df), "doc_id", "left_anti")
-    cand_docs = docs_rel.select("doc_id", content_col).join(
-        F.broadcast(cand_df), "doc_id"
+    # the forward index arrives as a handful of row-group splits; spread
+    # the candidate rows so the Arrow tokenize uses the whole cluster
+    cand_docs = (
+        docs_rel.select("doc_id", content_col)
+        .join(F.broadcast(cand_df), "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def adj_gen(batches):

@@ -315,7 +315,7 @@ def _score_one_range(
     hi: int,
     heavy_rows: dict[str, list[dict]],
     lights: list[LightList],
-    qmeta: list[tuple[str, int, float]],  # (term, qtf, idf) ascending term
+    qmeta: list[tuple[str, float, float]],  # (term, qtf, idf) ascending term
     theta: float,
     stats: CorpusStats,
     cfg: EngineConfig,
@@ -450,7 +450,7 @@ def _group_rows_by_range(
 def _score_ranges(
     by_range: dict[int, dict[str, list[dict]]],
     lights: list[LightList],
-    qmeta: list[tuple[str, int, float]],
+    qmeta: list[tuple[str, float, float]],
     theta0: float,
     k: int,
     stats: CorpusStats,
@@ -525,7 +525,7 @@ def _score_ranges(
 
 def make_range_scorer(
     lights: list[LightList],
-    qmeta: list[tuple[str, int, float]],
+    qmeta: list[tuple[str, float, float]],
     theta0: float,
     k: int,
     stats: CorpusStats,

@@ -531,7 +531,7 @@ class Engine:
             "doc_id long, score double",
         )
         return grouped_topk(
-            self._documents, scored, group_col, per_group=per_group
+            self.documents(), scored, group_col, per_group=per_group
         )
 
     def spellcheck(

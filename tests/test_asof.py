@@ -91,3 +91,18 @@ def test_asof_random_matches_python_reference(spark):
            for r in asof_join(left, right, right_cols=["state"]).collect()}
     want = {eid: ref(u, t) for eid, u, t in left_rows}
     assert got == want
+
+
+def test_null_right_col_rides_with_its_row(spark):
+    """Row-level carry (ADVICE r6): when the most recent right row holds a
+    NULL in one carried column, that NULL must ride with the row — the
+    per-column formulation stitched the NULL-free value from an OLDER row,
+    diverging from DuckDB's ASOF JOIN."""
+    left = _df(spark, "event_id long, user_id long, ts timestamp_ntz",
+               [(0, 1, _ts(10))])
+    right = _df(spark, "user_id long, ts timestamp_ntz, a long, b string",
+                [(1, _ts(5), 7, "old"), (1, _ts(8), None, "new")])
+    rows = asof_join(left, right, right_cols=["a", "b"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["b"] == "new"
+    assert rows[0]["a"] is None  # not 7 — the whole latest row rides
