@@ -623,7 +623,7 @@ def _tf_and_stats(spark: SparkSession, sf_dir: str):
     from dawnsearch_spark.operators.tf import CorpusStats
 
     docs = _docs(spark, sf_dir)
-    tf = term_frequencies(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    tf = term_frequencies(_par(spark, docs)).persist(StorageLevel.MEMORY_AND_DISK)
     n = _corpus_rows(sf_dir)
     if n is None:
         n = docs.count()
@@ -646,7 +646,9 @@ def _pruned_tf_and_stats(spark: SparkSession, sf_dir: str, terms):
     from dawnsearch_spark.operators.tf import CorpusStats, term_frequencies_pruned
 
     docs = _docs(spark, sf_dir)
-    raw = term_frequencies_pruned(docs, terms).persist(StorageLevel.MEMORY_AND_DISK)
+    raw = term_frequencies_pruned(_par(spark, docs), terms).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n = _corpus_rows(sf_dir)
     if n is None:
         n = docs.count()
@@ -689,7 +691,7 @@ def _bm25_spark(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> Da
 
 def q_doclen_stats(spark, sf_dir):
     """A1/A7: corpus statistics for BM25."""
-    docs = _docs(spark, sf_dir)
+    docs = _par(spark, _docs(spark, sf_dir))
     dl = docs.select(F.size(tokens_col("content")).cast("long").alias("dl"))
     return dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -700,7 +702,7 @@ def q_doclen_stats(spark, sf_dir):
 
 def q_term_tf(spark, sf_dir):
     """A6: per-(doc, term) term frequency — full tokenizer parity check."""
-    docs = _docs(spark, sf_dir)
+    docs = _par(spark, _docs(spark, sf_dir))
     return (
         term_frequencies(docs)
         .select("term", "doc_id", "tf")
@@ -710,7 +712,7 @@ def q_term_tf(spark, sf_dir):
 
 def q_doc_freq(spark, sf_dir):
     """A7: document/collection frequency per term."""
-    docs = _docs(spark, sf_dir)
+    docs = _par(spark, _docs(spark, sf_dir))
     return document_frequencies(term_frequencies(docs)).select("term", "df", "cf")
 
 
@@ -975,7 +977,7 @@ def q_suggest_terms(spark, sf_dir):
     (cf desc, term asc) — a bounded metadata scan, never postings."""
     from dawnsearch_spark.operators.boolquery import suggest_terms
 
-    docs = _docs(spark, sf_dir)
+    docs = _par(spark, _docs(spark, sf_dir))
     dfs = document_frequencies(term_frequencies(docs))
     return suggest_terms(dfs, SUGGEST_PREFIX, n=10)
 
@@ -1013,7 +1015,7 @@ def q_spellcheck(spark, sf_dir):
     asc / df desc / term asc — bounded metadata scan."""
     from dawnsearch_spark.operators.boolquery import spellcheck
 
-    docs = _docs(spark, sf_dir)
+    docs = _par(spark, _docs(spark, sf_dir))
     dfs = document_frequencies(term_frequencies(docs))
     return spellcheck(dfs, SPELL_QUERY, max_edits=2, n=5)
 
