@@ -90,6 +90,17 @@ class EngineConfig:
     # queries, search_provider.rs:111-120). 4M postings ≈ 100 MB of int64
     # arrays. 0 disables the cache.
     light_cache_postings: int = 4_000_000
+    # Bound (in POSTINGS) of the Engine's heavy-row LRU: bound-attached,
+    # doc-decoded heavy segment rows for repeated serving terms stay
+    # resident between queries, exactly like the light-list LRU (bounds
+    # and idf are fixed per index state, so cached rows are
+    # query-independent; tf/dl blocks still decode lazily per query).
+    # 0 disables the cache. NOT part of the config fingerprint. Sized
+    # above the light LRU because one stopword-like term spans ~N/100
+    # postings: a 25-query reference working set holds ~3-4M heavy
+    # postings, and an LRU at exactly that size thrashes. 16M postings
+    # ≈ 130 MB of int64 doc arrays + ~50 MB of blobs.
+    heavy_cache_postings: int = 16_000_000
     # Tiered segment generations: an append merges only its new runs into
     # a fresh generation (O(batch) IO); above this many generations one
     # compaction job re-merges everything into a single generation.

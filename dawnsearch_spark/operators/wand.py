@@ -357,7 +357,11 @@ def _score_one_range(
         return np.zeros(0, np.int64), np.zeros(0, np.float64)
 
     heavy_docs = {
-        t: [_decode_row_docs(r) for r in rows] for t, rows in heavy_rows.items()
+        t: [
+            r["_docs"] if "_docs" in r else _decode_row_docs(r)
+            for r in rows
+        ]
+        for t, rows in heavy_rows.items()
     }
     cand_parts = [d for ds in heavy_docs.values() for d in ds] + [
         s[0] for lst in slices.values() for s in lst
@@ -611,6 +615,7 @@ def search_index(
     counters: dict | None = None,
     meta_by_term=None,
     light_cache: "LightListCache | None" = None,
+    heavy_cache: "LightListCache | None" = None,
     tombstones: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) for a query string or a {term: weight} bag.
@@ -843,14 +848,46 @@ def search_index(
         # driver-side scoring (reference's local-search-first, E1 step 3):
         # overflow is empty so every matching row fits the budget
         ctr["path"] = "driver"
-        ctr["driver_postings_decoded"] += heavy_postings
         lights = _get_lights(driver_terms)
         ldocs, lscores, theta0 = _light_pass(lights)
-        heavy_rows = _fetch(heavy_only=True)
-        if not heavy_rows:
+        # heavy rows ride the Engine's LRU like light lists do (the
+        # reference keeps the whole index RAM-resident between queries):
+        # a cached term skips the segment fetch, the directory-array
+        # conversion, the bound derivation AND the doc-stream decode —
+        # bounds and idf are fixed per index state, so cached rows are
+        # query-independent; tf/dl block decodes stay lazy per query.
+        heavy_terms_q = sorted({r["term"] for r in heavy_meta})
+        by_range: dict[int, dict[str, list[dict]]] = {}
+        missing: list[str] = []
+        for t in heavy_terms_q:
+            cached = heavy_cache.get(t) if heavy_cache is not None else None
+            if cached is None:
+                missing.append(t)
+            else:
+                for rd in cached:
+                    by_range.setdefault(rd["range_id"], {}).setdefault(
+                        t, []
+                    ).append(rd)
+        if missing:
+            by_term: dict[str, list[dict]] = {}
+            for r in _fetch(heavy_only=True, only_terms=missing):
+                rd = _attach_bounds(
+                    _row_to_dict(r), idf_by_term[r["term"]], stats, cfg
+                )
+                rd["_docs"] = _decode_row_docs(rd)
+                ctr["driver_postings_decoded"] += int(rd["n_docs"])
+                by_term.setdefault(rd["term"], []).append(rd)
+                by_range.setdefault(rd["range_id"], {}).setdefault(
+                    rd["term"], []
+                ).append(rd)
+            if heavy_cache is not None:
+                for t, rws in by_term.items():
+                    heavy_cache.put(
+                        t, rws, sum(int(x["n_docs"]) for x in rws)
+                    )
+        if not by_range:
             return _topk_merge(ldocs, lscores, k)[:k_out]
         task_ctr = {key: 0 for key in _CTR_KEYS}
-        by_range = _group_rows_by_range(heavy_rows, qmeta, stats, cfg)
         found = _score_ranges(
             by_range, lights, qmeta, theta0, k, stats, cfg, task_ctr, tombstones
         )[:k]

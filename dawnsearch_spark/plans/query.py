@@ -148,8 +148,10 @@ class Engine:
         # bigger index falls back to a per-query column-pruned collect.
         self._meta_gens: list[int] = []
         self.last_meta_load: dict = {}
+        self._last_new_heavy_terms: set = set()
         self._meta_by_term = self._load_meta()
         self._light_cache = self._new_light_cache()
+        self._heavy_cache = self._new_heavy_cache()
         # Lucene-style deletes: tombstoned docIDs filter every search
         # until purge_deletes rewrites the segments (sorted int64 array,
         # read driver-side with zero Spark jobs)
@@ -167,6 +169,15 @@ class Engine:
         if self.cfg.light_cache_postings <= 0:
             return None
         return LightListCache(self.cfg.light_cache_postings)
+
+    def _new_heavy_cache(self):
+        # same bounded LRU mechanics, holding bound-attached heavy row
+        # dicts per term (see EngineConfig.heavy_cache_postings)
+        from dawnsearch_spark.operators.wand import LightListCache
+
+        if getattr(self.cfg, "heavy_cache_postings", 0) <= 0:
+            return None
+        return LightListCache(self.cfg.heavy_cache_postings)
 
     def _load_meta(
         self, prev: TermMeta | None = None, prev_gens: list[int] | None = None
@@ -186,6 +197,7 @@ class Engine:
         from dawnsearch_spark.manifest import read_manifest
 
         self.last_meta_load = {"mode": "none", "gens_read": [], "new_light_terms": set()}
+        self._last_new_heavy_terms = set()
         self._meta_gens = []
         seg_m = read_manifest(self.paths.root, "segments") or {}
         rows = seg_m.get("rows")
@@ -234,9 +246,14 @@ class Engine:
                 for c in META_COLUMNS
             }
 
+        rid_arr = np.asarray(cols["range_id"])
         new_light = {
-            t for t, rid in zip(cols["term"], np.asarray(cols["range_id"]))
-            if int(rid) == -1
+            t for t, rid in zip(cols["term"], rid_arr) if int(rid) == -1
+        }
+        # heavy-cache invalidation set (NOT in last_meta_load: that dict
+        # is JSON-serialized by observability consumers)
+        self._last_new_heavy_terms = {
+            t for t, rid in zip(cols["term"], rid_arr) if int(rid) >= 0
         }
         if prev is not None:
             old = prev.columns()
@@ -290,15 +307,18 @@ class Engine:
         self._segments = read_segments(self.spark, self.paths.root)
         self._documents = None
         self._meta_by_term = self._load_meta(self._meta_by_term, self._meta_gens)
-        if (
-            self.last_meta_load.get("mode") == "incremental"
-            and self._light_cache is not None
-        ):
-            self._light_cache.drop_terms(self.last_meta_load["new_light_terms"])
+        if self.last_meta_load.get("mode") == "incremental":
+            if self._light_cache is not None:
+                self._light_cache.drop_terms(self.last_meta_load["new_light_terms"])
+            if self._heavy_cache is not None:
+                # only terms that gained a heavy row in a NEW generation
+                # went stale; every other cached row still matches disk
+                self._heavy_cache.drop_terms(self._last_new_heavy_terms)
         else:
             # full reload (compaction / dict overflow): the generation
             # list changed non-monotonically — cached lists may be stale
             self._light_cache = self._new_light_cache()
+            self._heavy_cache = self._new_heavy_cache()
         self._tombstones = self._load_tombstones()
         return self
 
@@ -337,6 +357,7 @@ class Engine:
             counters=self.last_search_counters,
             meta_by_term=self._meta_by_term,
             light_cache=self._light_cache,
+            heavy_cache=self._heavy_cache,
             tombstones=self._tombstones,
         )
 
