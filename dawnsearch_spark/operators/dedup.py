@@ -35,6 +35,19 @@ DEFAULT_MAX_BAND_BUCKET = 500
 
 MINHASH_SEED = 0x5EED
 
+#: Sub-cap shingle-instance budget for the DRIVER-ORCHESTRATED exact
+#: intersection counter in :func:`jaccard_pairs_exact`: under the budget
+#: the (doc, shingle) incidence is collected once (hashed shingle ids, a
+#: collision-checked few-dozen-MB columnar table), the CSR/CSC layout is
+#: broadcast, and executors count per-pair intersections with C-level
+#: ``bincount`` gathers — Θ(Σ df²) integer adds with NO Σ df² row shuffle
+#: (the shuffle was ~100x the arithmetic at 50k docs on a Zipf corpus).
+#: Over the budget the original self-join + count aggregation runs
+#: unchanged. Scale-dependent, so env-overridable.
+DEDUP_DRIVER_MAX_POSTINGS = int(
+    __import__("os").environ.get("DAWNSEARCH_SPARK_DEDUP_DRIVER_POSTINGS", 30_000_000)
+)
+
 
 def drop_oversized_buckets(
     rows: DataFrame, keys: list[str], cap: int | None
@@ -192,6 +205,147 @@ def benchmark_contamination(
 
 # ---------- shingles + n-gram Jaccard ----------
 
+def _pair_intersections_driver(
+    ok: DataFrame,
+    counts: DataFrame,
+    prof: DataFrame,
+    threshold: float,
+    max_shingle_df: int,
+) -> DataFrame | None:
+    """Exact per-pair shared-sub-cap-shingle counts ``(id_a, id_b, _c)``
+    without the Σ df² candidate-row shuffle, for budget-sized corpora.
+
+    The self-join + count aggregation materializes one shuffled row per
+    (pair, shared shingle) — Θ(Σ df²) rows through the exchange, which on
+    a Zipf shared-vocabulary corpus grows ~quadratically with corpus size
+    and dominated the near-dup clustering wall time (guide §2.3: shuffle
+    keys/metadata, never payload-scale row sets, when the decision fits a
+    broadcast). Here the Θ(Σ df²) work is kept but moved into C:
+
+      1. the sub-cap (doc, shingle-hash) incidence is collected ONCE
+         (collision-checked xxhash64 ids — if two distinct shingles ever
+         collided, which a one-aggregate exact check rules out, we fall
+         back), a few bytes per instance;
+      2. the driver builds the CSR (doc -> shingle ids) + CSC (shingle ->
+         dense doc ids) layout and broadcasts it (~16 bytes/instance);
+      3. executors scan disjoint doc chunks: per doc, one concatenated
+         posting gather + one ``bincount`` yields the exact intersection
+         size with EVERY other doc; pairs are emitted only when
+         ``inter_sub + min(|oc_a|, |oc_b|) >= t/(1+t) * (|A| + |B|)``
+         (with a 1e-6 slack for the round-to-6 output filter) — an upper
+         bound on the pair's achievable Jaccard, so no pair that could
+         pass the final exact filter is dropped: for a dropped pair,
+         true inter = inter_sub + inter_over <= inter_sub + min(|oc|)
+         < t_eff/(1+t_eff)·(|A|+|B|) implies true J < t_eff, and the
+         chain-linked over-cap pairs still enter the downstream union
+         with their exact over-cap intersection added there.
+
+    Returns None when the incidence exceeds ``DEDUP_DRIVER_MAX_POSTINGS``
+    (the distributed aggregation handles any scale), when the index of
+    shingle hashes is not collision-free, or when the session cannot
+    broadcast (never happens in practice; defensive).
+    """
+    from collections.abc import Iterator
+
+    spark = ok.sparkSession
+    c = F.col("count")
+    sub = F.when(c <= max_shingle_df, True)
+    stats_row = counts.agg(
+        F.sum(F.when(c <= max_shingle_df, c)).alias("nnz"),
+        F.count(sub).alias("n_sh"),
+        F.countDistinct(
+            F.when(c <= max_shingle_df, F.xxhash64("_s"))
+        ).alias("n_hash"),
+    ).collect()[0]
+    nnz = int(stats_row["nnz"] or 0)
+    if nnz == 0 or nnz > DEDUP_DRIVER_MAX_POSTINGS:
+        return None
+    if int(stats_row["n_sh"]) != int(stats_row["n_hash"]):
+        return None  # astronomically unlikely 64-bit collision: exact fallback
+    inc = ok.select("_id", F.xxhash64("_s").alias("_h")).toPandas()
+    docs_raw = inc["_id"].to_numpy(np.int64)
+    hashes = inc["_h"].to_numpy(np.int64)
+    orig_ids, did = np.unique(docs_raw, return_inverse=True)
+    _, sid = np.unique(hashes, return_inverse=True)
+    n_rows = len(orig_ids)
+    # CSC: postings (dense doc ids) per shingle, shingle-major order
+    order = np.argsort(sid, kind="stable")
+    post_docs = did[order].astype(np.int32)
+    post_off = np.zeros(sid.max() + 2, np.int64)
+    np.cumsum(np.bincount(sid), out=post_off[1:])
+    # CSR: shingle ids per doc
+    order_d = np.argsort(did, kind="stable")
+    doc_sids = sid[order_d].astype(np.int64)
+    doc_off = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(np.bincount(did, minlength=n_rows), out=doc_off[1:])
+    # per-doc |A| and |oc| aligned to the dense ids (docs outside the
+    # matrix — all-over-cap or shingle-free — only ever pair via chains)
+    pp = prof.select(
+        "_id",
+        "_n_sh",
+        F.coalesce(F.size("_oc"), F.lit(0)).alias("_oc_n"),
+    ).toPandas()
+    n_sh_arr = np.zeros(n_rows, np.int64)
+    oc_len = np.zeros(n_rows, np.int64)
+    ppos = np.searchsorted(orig_ids, pp["_id"].to_numpy(np.int64))
+    inmat = (ppos < n_rows) & (
+        orig_ids[np.minimum(ppos, n_rows - 1)] == pp["_id"].to_numpy(np.int64)
+    )
+    n_sh_arr[ppos[inmat]] = pp["_n_sh"].to_numpy(np.int64)[inmat]
+    ocv = np.maximum(pp["_oc_n"].to_numpy(np.int64), 0)  # legacy size(null) = -1
+    oc_len[ppos[inmat]] = ocv[inmat]
+    t_eff = max(float(threshold) - 1e-6, 0.0)
+    bc = spark.sparkContext.broadcast(
+        (post_docs, post_off, doc_sids, doc_off, orig_ids, n_sh_arr, oc_len)
+    )
+    chunk = max(64, n_rows // (spark.sparkContext.defaultParallelism * 4) + 1)
+    n_chunks = (n_rows + chunk - 1) // chunk
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p_docs, p_off, d_sids, d_off, oids, nsh, ocl = bc.value
+        for pdf in batches:
+            for cid in pdf["id"].to_numpy():
+                lo, hi = int(cid) * chunk, min((int(cid) + 1) * chunk, n_rows)
+                out_a, out_b, out_c = [], [], []
+                for d in range(lo, hi):
+                    s0, s1 = d_off[d], d_off[d + 1]
+                    if s0 == s1:
+                        continue
+                    parts = [
+                        p_docs[p_off[s] : p_off[s + 1]]
+                        for s in d_sids[s0:s1]
+                    ]
+                    cnt = np.bincount(
+                        np.concatenate(parts), minlength=n_rows
+                    )
+                    nz = np.flatnonzero(cnt[d + 1 :])
+                    if not len(nz):
+                        continue
+                    b = nz + d + 1
+                    inter = cnt[b]
+                    keep = (inter + np.minimum(ocl[d], ocl[b])) * (
+                        1.0 + t_eff
+                    ) >= t_eff * (nsh[d] + nsh[b]) - 1e-9
+                    if not keep.any():
+                        continue
+                    bk = b[keep]
+                    out_a.append(np.full(len(bk), oids[d], np.int64))
+                    out_b.append(oids[bk])
+                    out_c.append(inter[keep].astype(np.int64))
+                if out_a:
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.concatenate(out_a),
+                            "id_b": np.concatenate(out_b),
+                            "_c": np.concatenate(out_c),
+                        }
+                    )
+
+    return (
+        spark.range(0, n_chunks, 1, numPartitions=n_chunks)
+        .mapInPandas(gen, "id_a long, id_b long, _c long")
+    )
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct, sorted n-word shingles of the lowercased text."""
     c = F.col(col) if isinstance(col, str) else col
@@ -257,8 +411,15 @@ def jaccard_pairs_exact(
     counts = ex.groupBy("_s").count()
     big = counts.filter(F.col("count") > max_shingle_df).select("_s")
     ok = ex.join(F.broadcast(big), ["_s"], "left_anti")
-    # exact shared-sub-cap-shingle count per pair: the join output flows
-    # straight into a partial-aggregated sum — no distinct, no arrays.
+    # exact shared-sub-cap-shingle count per pair. Preferred execution: the
+    # driver-orchestrated broadcast intersection counter (sub_rows = one
+    # (id_a, id_b, inter_sub) row per surviving candidate pair) — Θ(Σ df²)
+    # C-level adds with no Σ df² row shuffle, and a θ-style lower bound
+    # applied in-task so only pairs that can still reach the threshold are
+    # ever emitted (provably no false eliminations — see
+    # _pair_intersections_driver). Fallback (over budget / hash collision):
+    # the self-join whose output flows straight into a partial-aggregated
+    # sum — no distinct, no arrays.
     # Chain pairs (the over-cap spanning links, strides 1 and 2 over the
     # id-ordered bucket — same links as capped_pair_candidates) enter the
     # SAME aggregation as zero-count rows: they register candidacy without
@@ -266,16 +427,6 @@ def jaccard_pairs_exact(
     # sum — one aggregation pass covers the whole candidate set.
     from pyspark.sql import Window
 
-    sub_rows = (
-        ok.alias("a")
-        .join(ok.alias("b"), "_s")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.lit(1).cast("long").alias("_c"),
-        )
-    )
     big_rows = ex.join(F.broadcast(big), ["_s"], "left_semi")
     w = Window.partitionBy("_s").orderBy("_id")
     chain = big_rows.withColumn("_prev1_id", F.lag("_id", 1).over(w)).withColumn(
@@ -291,15 +442,27 @@ def jaccard_pairs_exact(
         )
         .withColumn("_c", F.lit(0).cast("long"))
     )
+    # per-doc scalars: |A| and the (small) over-cap membership list — the
+    # full intersection adds the shared over-cap shingles back in
+    oc = big_rows.groupBy("_id").agg(F.collect_set("_s").alias("_oc"))
+    prof = base.select("_id", F.size("_sh").alias("_n_sh")).join(oc, "_id", "left")
+    sub_rows = _pair_intersections_driver(ok, counts, prof, threshold, max_shingle_df)
+    if sub_rows is None:  # over budget / remote / hash-collision: self-join
+        sub_rows = (
+            ok.alias("a")
+            .join(ok.alias("b"), "_s")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.lit(1).cast("long").alias("_c"),
+            )
+        )
     cand = (
         sub_rows.unionByName(chain_rows)
         .groupBy("id_a", "id_b")
         .agg(F.sum("_c").alias("inter_sub"))
     )
-    # per-doc scalars: |A| and the (small) over-cap membership list — the
-    # full intersection adds the shared over-cap shingles back in
-    oc = big_rows.groupBy("_id").agg(F.collect_set("_s").alias("_oc"))
-    prof = base.select("_id", F.size("_sh").alias("_n_sh")).join(oc, "_id", "left")
     pa = prof.select(
         F.col("_id").alias("id_a"),
         F.col("_n_sh").alias("_n_a"),

@@ -310,6 +310,23 @@ def _topk_merge(doc_ids, scores, k: int) -> list[tuple[int, float]]:
     return sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
 
+def _topk_unique(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> list[tuple[int, float]]:
+    """(score desc, doc_id asc) top-k for ALREADY-UNIQUE doc ids —
+    vectorized (the per-doc Python dict of :func:`_topk_merge` costs more
+    than the whole scoring pass on corpus-sized result sets). Exact same
+    ordering contract: boundary ties resolved by doc_id ascending via a
+    full lexsort of every row tied with the kth score."""
+    n = len(doc_ids)
+    if n <= k:
+        idx = np.lexsort((doc_ids, -scores))
+        return [(int(doc_ids[i]), float(scores[i])) for i in idx]
+    thresh = np.partition(scores, n - k)[n - k]
+    cand = np.flatnonzero(scores >= thresh)
+    order = np.lexsort((doc_ids[cand], -scores[cand]))[:k]
+    sel = cand[order]
+    return [(int(doc_ids[i]), float(scores[i])) for i in sel]
+
+
 def _score_one_range(
     lo: int,
     hi: int,
@@ -838,7 +855,7 @@ def search_index(
         ctr["path"] = "light_only"
         lights = _get_lights(driver_terms)
         ldocs, lscores, _ = _light_pass(lights)
-        return _topk_merge(ldocs, lscores, k)[:k_out]
+        return _topk_unique(ldocs, lscores, k)[:k_out]
 
     if (
         not overflow_terms
@@ -846,58 +863,67 @@ def search_index(
         and cum + heavy_postings <= budget
     ):
         # driver-side scoring (reference's local-search-first, E1 step 3):
-        # overflow is empty so every matching row fits the budget
+        # overflow is empty so every matching row fits the budget.
+        # Exact TAAT over FULLY-DECODED lists instead of the block-max
+        # range walk: when every posting already fits driver RAM, the
+        # WAND machinery (per-range candidate building, block-bound
+        # screens, lazy per-block tf/dl decodes) is pure overhead —
+        # profiled at ~190 range iterations and ~1k small varbyte calls
+        # per query at 200k docs, ~50x the cost of one vectorized
+        # ascending-term accumulation over the same postings. Decoded
+        # (docs, tfs, dls) arrays per heavy term ride the Engine's LRU
+        # (the reference keeps its whole index RAM-resident between
+        # queries, search_provider.rs:111-120), so warm queries decode
+        # nothing at all. Scores are bit-identical to the range walk:
+        # same per-(doc, term) BM25 inputs, same ascending-term float64
+        # fold (each doc matches a term in exactly one generation row).
+        # Block-max pruning still carries the distributed branch below —
+        # the path that exists for indexes that outgrow driver budgets.
         ctr["path"] = "driver"
         lights = _get_lights(driver_terms)
-        ldocs, lscores, theta0 = _light_pass(lights)
-        # heavy rows ride the Engine's LRU like light lists do (the
-        # reference keeps the whole index RAM-resident between queries):
-        # a cached term skips the segment fetch, the directory-array
-        # conversion, the bound derivation AND the doc-stream decode —
-        # bounds and idf are fixed per index state, so cached rows are
-        # query-independent; tf/dl block decodes stay lazy per query.
         heavy_terms_q = sorted({r["term"] for r in heavy_meta})
-        by_range: dict[int, dict[str, list[dict]]] = {}
+        heavy_lights: list[LightList] = []
         missing: list[str] = []
         for t in heavy_terms_q:
             cached = heavy_cache.get(t) if heavy_cache is not None else None
             if cached is None:
                 missing.append(t)
             else:
-                for rd in cached:
-                    by_range.setdefault(rd["range_id"], {}).setdefault(
-                        t, []
-                    ).append(rd)
-        if missing:
-            by_term: dict[str, list[dict]] = {}
-            for r in _fetch(heavy_only=True, only_terms=missing):
-                rd = _attach_bounds(
-                    _row_to_dict(r), idf_by_term[r["term"]], stats, cfg
+                heavy_lights.extend(
+                    LightList(t, bag[t], idf_by_term[t], docs, tfs, dls)
+                    for docs, tfs, dls in cached
                 )
-                rd["_docs"] = _decode_row_docs(rd)
+        if missing:
+            by_term: dict[str, list[tuple]] = {}
+            for r in _fetch(heavy_only=True, only_terms=missing):
+                rd = _row_to_dict(r)
+                from dawnsearch_spark.functions.codec import decode_all_postings
+
+                docs_t, tfs_t, dls_t = decode_all_postings(rd, cfg.block_size)
                 ctr["driver_postings_decoded"] += int(rd["n_docs"])
-                by_term.setdefault(rd["term"], []).append(rd)
-                by_range.setdefault(rd["range_id"], {}).setdefault(
-                    rd["term"], []
-                ).append(rd)
-            if heavy_cache is not None:
-                for t, rws in by_term.items():
-                    heavy_cache.put(
-                        t, rws, sum(int(x["n_docs"]) for x in rws)
-                    )
-        if not by_range:
-            return _topk_merge(ldocs, lscores, k)[:k_out]
-        task_ctr = {key: 0 for key in _CTR_KEYS}
-        found = _score_ranges(
-            by_range, lights, qmeta, theta0, k, stats, cfg, task_ctr, tombstones
-        )[:k]
-        for key in _CTR_KEYS:
-            ctr[key] += task_ctr[key]
-        return _topk_merge(
-            np.concatenate([ldocs, np.array([d for _, d in found], np.int64)]),
-            np.concatenate([lscores, np.array([s for s, _ in found], np.float64)]),
-            k,
-        )[:k_out]
+                by_term.setdefault(rd["term"], []).append((docs_t, tfs_t, dls_t))
+            for t, parts in by_term.items():
+                # one sorted merged list per term: generation rows hold
+                # disjoint doc sets, so a stable sort of the concatenation
+                # is the term's full docID-ascending posting list
+                if len(parts) == 1:
+                    docs_t, tfs_t, dls_t = parts[0]
+                else:
+                    docs_t = np.concatenate([p[0] for p in parts])
+                    order = np.argsort(docs_t, kind="stable")
+                    docs_t = docs_t[order]
+                    tfs_t = np.concatenate([p[1] for p in parts])[order]
+                    dls_t = np.concatenate([p[2] for p in parts])[order]
+                merged = [(docs_t, tfs_t, dls_t)]
+                if heavy_cache is not None:
+                    heavy_cache.put(t, merged, int(len(docs_t)))
+                heavy_lights.append(
+                    LightList(t, bag[t], idf_by_term[t], docs_t, tfs_t, dls_t)
+                )
+        all_lights = lights + [_mask_light(ll) for ll in heavy_lights]
+        ldocs, lscores = _exact_light_scores(all_lights, stats, cfg)
+        ctr["postings_scored"] += int(sum(len(l.docs) for l in all_lights))
+        return _topk_unique(ldocs, lscores, k)[:k_out]
 
     # ---- distributed branch ----
     ctr["path"] = "distributed"

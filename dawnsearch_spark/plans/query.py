@@ -171,8 +171,9 @@ class Engine:
         return LightListCache(self.cfg.light_cache_postings)
 
     def _new_heavy_cache(self):
-        # same bounded LRU mechanics, holding bound-attached heavy row
-        # dicts per term (see EngineConfig.heavy_cache_postings)
+        # same bounded LRU mechanics, holding the merged fully-decoded
+        # (docs, tfs, dls) arrays per heavy term that the driver TAAT
+        # fast path scores from (see EngineConfig.heavy_cache_postings)
         from dawnsearch_spark.operators.wand import LightListCache
 
         if getattr(self.cfg, "heavy_cache_postings", 0) <= 0:
