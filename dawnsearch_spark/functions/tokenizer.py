@@ -69,12 +69,61 @@ def tokens_col(col: Column | str) -> Column:
 
 
 def tokenize_pandas(s: pd.Series) -> pd.Series:
-    """Vectorized pandas twin of ``tokens_col`` (Series[str] -> Series[list[str]])."""
+    """Vectorized pandas twin of ``tokens_col`` (Series[str] -> Series[list[str]]).
+
+    One fused boundary-substitution pass (the same zero-width-lookaround
+    pattern the JVM path splits on) instead of three chained rewrites —
+    each ``str.replace`` copies every string, and the tokenizer is the
+    dominant CPU of every corpus-pass operator."""
     c = s.fillna("")
-    c = c.str.replace(ACRONYM_PAT, r"\1 \2", regex=True)
-    c = c.str.replace(CAMEL_PAT, r"\1 \2", regex=True)
-    c = c.str.replace(NONWORD_PAT, " ", regex=True)
+    c = c.str.replace(BOUNDARY_PAT, " ", regex=True)
     return c.str.lower().str.split()
+
+
+def tokenize_flat_arrow(texts) -> tuple:
+    """(flat_tokens, seg, dl) via pyarrow compute (RE2 + C++ kernels).
+
+    The flat twin of ``tokenize_pandas`` for consumers that want ONE
+    concatenated token stream instead of per-row lists: ``flat_tokens``
+    is a pyarrow StringArray of every token in document order, ``seg``
+    maps each token to its row ordinal, ``dl`` is per-row token counts.
+    ~2.5x faster than the pandas object-dtype path on this host (the
+    corpus tokenize is the dominant CPU of every positional/TF pass), and
+    token-identical: the two camel/acronym substitutions plus the
+    non-word split are the same rules, RE2 and Python ``re`` agree on
+    these ASCII patterns, and empty fragments are dropped exactly like
+    ``split()`` does (pinned by tests/test_tokenizer.py).
+
+    Accepts a pandas Series or a pyarrow (Chunked)Array of strings.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pd.Series):
+        arr = pa.Array.from_pandas(texts.fillna(""), type=pa.string())
+    else:
+        arr = texts
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if arr.null_count:
+            arr = pc.fill_null(arr, "")
+    a = pc.replace_substring_regex(arr, ACRONYM_PAT, r"\1 \2")
+    a = pc.replace_substring_regex(a, CAMEL_PAT, r"\1 \2")
+    a = pc.utf8_lower(a)
+    la = pc.split_pattern_regex(a, NONWORD_PAT)
+    if isinstance(la, pa.ChunkedArray):  # pragma: no cover - single chunk in
+        la = la.combine_chunks()
+    values = la.values
+    offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]  # value-buffer slice offset of a sliced array
+    nonempty = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
+    cum = np.zeros(len(values) + 1, np.int64)
+    np.cumsum(nonempty, out=cum[1:])
+    dl = cum[offs[1:]] - cum[offs[:-1]]
+    flat = values.filter(pa.array(nonempty))
+    seg = np.repeat(np.arange(len(dl), dtype=np.int64), dl)
+    return flat, seg, dl
 
 
 def tokens_pandas_udf():

@@ -77,6 +77,86 @@ def _phrase_hits(tokens: np.ndarray, terms: list[str]) -> int:
     return int(mask.sum())
 
 
+def _flatten_tokens(toks: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat, seg, dl) for a Series of token lists: one concatenated token
+    array, each token's doc ordinal, and per-doc token counts. The batch
+    matchers below run ONE vectorized pass over ``flat`` instead of a
+    per-document Python call — the per-doc loop's fixed NumPy overhead
+    (~tens of µs x 10^5 candidate docs) dominated positional verification."""
+    dl = toks.str.len().fillna(0).to_numpy(np.int64)
+    ex = toks.explode()
+    ex = ex[ex.notna()]
+    flat = ex.to_numpy()
+    seg = np.repeat(np.arange(len(dl), dtype=np.int64), dl)
+    return flat, seg, dl
+
+
+def _term_eq(flat, term: str) -> np.ndarray:
+    """Elementwise token == term as a numpy bool array; ``flat`` may be a
+    numpy object array or a pyarrow StringArray (C++-kernel equality —
+    the arrow flat tokenizer's output is matched without ever
+    materializing Python strings)."""
+    if isinstance(flat, np.ndarray):
+        return flat == term
+    import pyarrow.compute as pc
+
+    return pc.equal(flat, term).to_numpy(zero_copy_only=False)
+
+
+def _phrase_hits_flat(
+    flat, seg: np.ndarray, n_docs: int, terms: list[str]
+) -> np.ndarray:
+    """Per-doc contiguous-occurrence counts over a flattened token batch —
+    value-identical to :func:`_phrase_hits` per doc (windows crossing a
+    doc boundary are excluded by the segment-equality mask)."""
+    m = len(terms)
+    n = len(flat)
+    out_n = n - m + 1
+    if out_n <= 0:
+        return np.zeros(n_docs, np.int64)
+    eqs = [_term_eq(flat, t) for t in dict.fromkeys(terms)]
+    by_term = {t: e for t, e in zip(dict.fromkeys(terms), eqs)}
+    mask = by_term[terms[0]][:out_n].copy()
+    for j in range(1, m):
+        mask &= by_term[terms[j]][j : out_n + j]
+    if m > 1:
+        mask &= seg[:out_n] == seg[m - 1 :]
+    return np.bincount(seg[:out_n][mask], minlength=n_docs)
+
+
+def _near_hits_flat(
+    flat,
+    seg: np.ndarray,
+    n_docs: int,
+    ta: str,
+    tb: str,
+    window: int,
+) -> np.ndarray:
+    """Per-doc NEAR counts over a flattened token batch — value-identical
+    to :func:`_near_hits` per doc: a doc's ``tb`` positions form a
+    contiguous run of the global sorted position list, so the global
+    nearest predecessor/successor IS the same-doc one whenever a same-doc
+    one exists, and the segment check drops cross-doc neighbors."""
+    pa = np.flatnonzero(_term_eq(flat, ta))
+    pb = np.flatnonzero(_term_eq(flat, tb))
+    if not len(pa) or not len(pb):
+        return np.zeros(n_docs, np.int64)
+    sa = seg[pa]
+    sb = seg[pb]
+    j = np.searchsorted(pb, pa)
+    big = np.iinfo(np.int64).max
+    jl = np.maximum(j - 1, 0)
+    left = np.where(
+        (j > 0) & (sb[jl] == sa), pa - pb[jl], big
+    )
+    jr = np.minimum(j, len(pb) - 1)
+    right = np.where(
+        (j < len(pb)) & (sb[jr] == sa), pb[jr] - pa, big
+    )
+    hits = np.minimum(left, right) <= window
+    return np.bincount(sa[hits], minlength=n_docs)
+
+
 def phrase_topk(
     docs: DataFrame,
     tf: DataFrame,
@@ -120,22 +200,17 @@ def phrase_topk(
     phrase_terms = terms  # closure for the Arrow batches
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dawnsearch_spark.functions.tokenizer import tokenize_flat_arrow
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            toks = tokenize_pandas(pdf[content_col])
-            ptf = np.fromiter(
-                (
-                    _phrase_hits(np.asarray(t, dtype=object), phrase_terms)
-                    for t in toks
-                ),
-                dtype=np.int64,
-                count=len(toks),
-            )
+            flat, seg, dl = tokenize_flat_arrow(pdf[content_col])
+            ptf = _phrase_hits_flat(flat, seg, len(dl), phrase_terms)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(np.int64),
-                    "dl": toks.str.len().fillna(0).to_numpy(np.int64),
+                    "dl": dl,
                     "phrase_tf": ptf,
                 }
             )
@@ -145,10 +220,16 @@ def phrase_topk(
     ).filter(F.col("phrase_tf") > 0)
 
     # 3. BM25 with the phrase as a single term; df comes from the match
-    # set itself (1-row aggregate, cross-joined — stays declarative, no
-    # driver round-trip).
-    dfp = matched.agg(F.count(F.lit(1)).cast("double").alias("_dfp"))
-    scored = matched.crossJoin(F.broadcast(dfp)).withColumn(
+    # set itself. A global window count (single-partition exchange of the
+    # NARROW matched rows only) instead of an aggregate + crossJoin: the
+    # aggregate formulation recomputed the whole candidate tokenize
+    # pipeline a second time for the re-join.
+    from pyspark.sql import Window
+
+    scored = matched.withColumn(
+        "_dfp",
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(0))).cast("double"),
+    ).withColumn(
         "score",
         bm25_col(
             F.col("phrase_tf"),
@@ -404,22 +485,17 @@ def near_topk(
     cand_docs = docs.select("doc_id", content_col).join(F.broadcast(cand), "doc_id")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dawnsearch_spark.functions.tokenizer import tokenize_flat_arrow
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            toks = tokenize_pandas(pdf[content_col])
-            prox = np.fromiter(
-                (
-                    _near_hits(np.asarray(t, dtype=object), ta, tb, window)
-                    for t in toks
-                ),
-                dtype=np.int64,
-                count=len(toks),
-            )
+            flat, seg, dl = tokenize_flat_arrow(pdf[content_col])
+            prox = _near_hits_flat(flat, seg, len(dl), ta, tb, window)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(np.int64),
-                    "dl": toks.str.len().fillna(0).to_numpy(np.int64),
+                    "dl": dl,
                     "prox_tf": prox,
                 }
             )
@@ -427,8 +503,14 @@ def near_topk(
     matched = cand_docs.mapInPandas(
         gen, "doc_id long, dl long, prox_tf long"
     ).filter(F.col("prox_tf") > 0)
-    dfp = matched.agg(F.count(F.lit(1)).cast("double").alias("_dfp"))
-    scored = matched.crossJoin(F.broadcast(dfp)).withColumn(
+    # global window count instead of aggregate + crossJoin — one pass over
+    # the candidate tokenize pipeline (see phrase_topk)
+    from pyspark.sql import Window
+
+    scored = matched.withColumn(
+        "_dfp",
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(0))).cast("double"),
+    ).withColumn(
         "score",
         bm25_col(
             F.col("prox_tf"),

@@ -31,9 +31,12 @@ from pyspark.sql import functions as F
 
 from dawnsearch_spark.config import EngineConfig
 from dawnsearch_spark.functions.bm25 import bm25_np, idf_np
-from dawnsearch_spark.functions.tokenizer import tokenize_pandas, tokenize_py
+from dawnsearch_spark.functions.tokenizer import tokenize_flat_arrow, tokenize_py
 from dawnsearch_spark.index_build import IndexPaths, load_stats, read_segments
-from dawnsearch_spark.operators.boolquery import _phrase_hits
+from dawnsearch_spark.operators.boolquery import (
+    _near_hits_flat,
+    _phrase_hits_flat,
+)
 from dawnsearch_spark.operators.wand import (
     _decode_row_docs,
     _term_bucket,
@@ -85,7 +88,7 @@ def search_phrase_index(
         return []
     return positional_search_index(
         spark, index_root, terms,
-        lambda arr: _phrase_hits(arr, terms), cfg, **kw,
+        lambda flat, seg, n: _phrase_hits_flat(flat, seg, n, terms), cfg, **kw,
     )
 
 
@@ -101,8 +104,6 @@ def search_near_index(
     """NEAR/n proximity top-k from the index: [(doc_id, prox_tf, score)].
     Same candidate/verification/scoring plan as phrase serving — only the
     per-doc position matcher differs (unordered within-window count)."""
-    from dawnsearch_spark.operators.boolquery import _near_hits
-
     ta = tokenize_py(term_a)
     tb = tokenize_py(term_b)
     if len(ta) != 1 or len(tb) != 1:
@@ -110,7 +111,8 @@ def search_near_index(
     a, b = ta[0], tb[0]
     return positional_search_index(
         spark, index_root, [a, b],
-        lambda arr: _near_hits(arr, a, b, window), cfg, **kw,
+        lambda flat, seg, n: _near_hits_flat(flat, seg, n, a, b, window),
+        cfg, **kw,
     )
 
 
@@ -235,8 +237,9 @@ def positional_search_index(
     documents: DataFrame | None = None,
 ) -> list[tuple[int, int, float]]:
     """Generic positional query over the index: candidates must contain
-    every distinct term in ``match_terms``; ``matcher(tokens) -> int``
-    counts the positional matches per candidate doc (phrase adjacency,
+    every distinct term in ``match_terms``; ``matcher(flat, seg, n_docs)
+    -> int64[n_docs]`` counts the positional matches per candidate doc in
+    ONE vectorized pass over a flattened token batch (phrase adjacency,
     NEAR windows, ...); matches score as one synthetic BM25 term."""
     ctr = counters if counters is not None else {}
     ctr.update({"path": None, "candidates": 0, "phrase_df": 0})
@@ -342,16 +345,11 @@ def positional_search_index(
         except (OSError, ValueError, ImportError):
             tbl = None
         if tbl is not None:
-            pdf = tbl.to_pandas()
-            toks = tokenize_pandas(pdf[content_col])
-            ptf = np.fromiter(
-                (matcher(np.asarray(t, dtype=object)) for t in toks),
-                dtype=np.int64,
-                count=len(toks),
-            )
-            dl = toks.str.len().fillna(0).to_numpy(np.int64)
+            flat, seg, dl = tokenize_flat_arrow(tbl.column(content_col))
+            ptf = matcher(flat, seg, len(dl))
             out = _score_matches(
-                pdf["doc_id"].to_numpy(np.int64), ptf, dl,
+                tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64),
+                ptf, dl,
                 float(stats.n_docs), stats.avgdl, cfg, k,
             )
             ctr["phrase_df"] = int((ptf > 0).sum())
@@ -388,52 +386,73 @@ def positional_search_index(
             .filter(F.col("_nt") == len(uniq))
             .select("doc_id")
         )
+    elif len(cand) > 0.5 * float(stats.n_docs):
+        # common-common phrase: the candidate set covers most of the
+        # corpus, so attaching it (broadcast of 10^5+ ids + a content
+        # shuffle) costs more than just scanning every row — the matcher
+        # already yields 0 for non-candidates, so the match set is
+        # identical. Tombstones are dropped from the (small) matched
+        # relation instead of the scan.
+        cand_df = None
     else:
         # Arrow path: a driver-resident candidate set above the zero-job
         # cap can hold 10^4-10^5 ids — shipping them as pickled Row tuples
         # cost seconds per query; one Arrow batch is milliseconds
         cand_df = spark.createDataFrame(pd.DataFrame({"doc_id": cand.astype("int64")}))
-    if tombstones is not None:
-        tomb_df = spark.createDataFrame(
+    tomb_df = (
+        spark.createDataFrame(
             pd.DataFrame({"doc_id": np.asarray(tombstones, np.int64)})
         )
-        cand_df = cand_df.join(F.broadcast(tomb_df), "doc_id", "left_anti")
-    # the forward index arrives as a handful of row-group splits; spread
-    # the candidate rows so the Arrow tokenize uses the whole cluster
-    cand_docs = (
-        docs_rel.select("doc_id", content_col)
-        .join(F.broadcast(cand_df), "doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        if tombstones is not None
+        else None
     )
+    if cand_df is None:
+        cand_docs = docs_rel.select("doc_id", content_col)
+    else:
+        if tomb_df is not None:
+            cand_df = cand_df.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+        # the forward index arrives as a handful of row-group splits;
+        # spread the candidate rows so the Arrow tokenize uses the whole
+        # cluster
+        cand_docs = (
+            docs_rel.select("doc_id", content_col)
+            .join(F.broadcast(cand_df), "doc_id")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
 
     def adj_gen(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            toks = tokenize_pandas(pdf[content_col])
-            ptf = np.fromiter(
-                (matcher(np.asarray(t, dtype=object)) for t in toks),
-                dtype=np.int64,
-                count=len(toks),
-            )
+            flat, seg, dl = tokenize_flat_arrow(pdf[content_col])
+            ptf = matcher(flat, seg, len(dl))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(np.int64),
-                    "dl": toks.str.len().fillna(0).to_numpy(np.int64),
+                    "dl": dl,
                     "phrase_tf": ptf,
                 }
             )
+
+    from pyspark.sql import Window
 
     from dawnsearch_spark.functions.bm25 import bm25_col, idf_col
 
     matched = cand_docs.mapInPandas(
         adj_gen, "doc_id long, dl long, phrase_tf long"
     ).filter(F.col("phrase_tf") > 0)
+    if cand_df is None and tomb_df is not None:
+        matched = matched.join(F.broadcast(tomb_df), "doc_id", "left_anti")
     # score + top-k stay distributed: only k result rows ever reach the
-    # driver even when the phrase matches millions of docs
-    dfp = matched.agg(F.count(F.lit(1)).cast("double").alias("_dfp"))
+    # driver even when the phrase matches millions of docs. The phrase df
+    # comes from a global window count over the NARROW matched rows — the
+    # former aggregate + crossJoin re-ran the whole candidate join +
+    # tokenize pipeline a second time to attach one scalar.
     top = (
-        matched.crossJoin(F.broadcast(dfp))
+        matched.withColumn(
+            "_dfp",
+            F.count(F.lit(1)).over(Window.partitionBy(F.lit(0))).cast("double"),
+        )
         .withColumn(
             "score",
             bm25_col(

@@ -99,16 +99,50 @@ def term_frequencies_pruned(
     tset = sorted({str(t) for t in terms})
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from dawnsearch_spark.functions.tokenizer import tokenize_flat_arrow
+
+        tset_arr = pa.array(tset, pa.string())
         for pdf in batches:
             if not len(pdf):
                 continue
-            t = tf_frame(pdf, content_col)
-            if not len(t):
+            # Only the query's terms ever leave this pass, so the full
+            # all-terms (term, doc, dl) groupby of tf_frame is wasted
+            # work (it was ~2/3 of the batch cost on a 300-token-avg
+            # corpus): tokenize once (arrow kernels), take the batch
+            # token total from the per-doc lengths (Σ dl == Σ tf over
+            # all terms — docs with zero tokens contribute zero either
+            # way), and group only the filtered query-term instances.
+            flat, seg, dl = tokenize_flat_arrow(pdf[content_col])
+            total = int(dl.sum())
+            if total == 0:
                 continue
-            total = int(t["tf"].sum())
-            keep = t[t["term"].isin(tset)]
+            hit = pc.is_in(flat, value_set=tset_arr).to_numpy(
+                zero_copy_only=False
+            )
             summary = pd.DataFrame(
                 {"term": [""], "doc_id": [-1], "dl": [0], "tf": [total]}
+            )
+            if not hit.any():
+                yield summary
+                continue
+            idx = np.flatnonzero(hit)
+            ridx = seg[idx]
+            kept = pd.DataFrame(
+                {
+                    "term": flat.take(pa.array(idx)).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "doc_id": pdf["doc_id"].to_numpy(np.int64)[ridx],
+                    "dl": dl[ridx],
+                }
+            )
+            keep = (
+                kept.groupby(["term", "doc_id", "dl"], sort=False)
+                .size()
+                .reset_index(name="tf")
             )
             yield pd.concat([keep, summary], ignore_index=True)
 

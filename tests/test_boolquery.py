@@ -54,6 +54,43 @@ def test_phrase_hits_vectorized():
     assert _phrase_hits(np.asarray([], dtype=object), ["a"]) == 0
 
 
+def test_flat_matchers_equal_per_doc():
+    """The batched flat matchers must agree with the per-doc reference
+    matchers on random multi-doc batches — including doc-boundary windows,
+    empty docs, and docs shorter than the phrase."""
+    import random
+
+    from dawnsearch_spark.operators.boolquery import (
+        _flatten_tokens,
+        _near_hits,
+        _near_hits_flat,
+        _phrase_hits_flat,
+    )
+    import pandas as pd
+
+    rng = random.Random(7)
+    vocab = list("abcde")
+    docs = [
+        [rng.choice(vocab) for _ in range(rng.randrange(0, 12))]
+        for _ in range(60)
+    ]
+    toks = pd.Series(docs)
+    flat, seg, dl = _flatten_tokens(toks)
+    assert len(flat) == int(dl.sum())
+    for terms in (["a", "b"], ["b", "a", "c"], ["a"], ["e", "e"]):
+        got = _phrase_hits_flat(flat, seg, len(docs), terms)
+        want = [
+            _phrase_hits(np.asarray(d, dtype=object), terms) for d in docs
+        ]
+        assert got.tolist() == want, terms
+    for ta, tb, w in (("a", "b", 1), ("a", "b", 3), ("c", "e", 2), ("a", "a", 2)):
+        got = _near_hits_flat(flat, seg, len(docs), ta, tb, w)
+        want = [
+            _near_hits(np.asarray(d, dtype=object), ta, tb, w) for d in docs
+        ]
+        assert got.tolist() == want, (ta, tb, w)
+
+
 def test_phrase_topk_semantics(spark, tiny):
     tf = term_frequencies(tiny)
     stats = corpus_stats(doc_lengths(tiny))

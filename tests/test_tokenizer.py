@@ -52,3 +52,24 @@ def test_pandas_udf_matches_py(spark):
     df = spark.createDataFrame([(t,) for t in texts], "content string")
     rows = df.select(tokens_pandas_udf()("content").alias("toks")).collect()
     assert [r["toks"] for r in rows] == [tokenize_py(t) for t in texts]
+
+
+def test_flat_arrow_matches_py():
+    """tokenize_flat_arrow must produce the same token stream / per-doc
+    counts as tokenize_py, for pandas Series AND pyarrow array inputs —
+    including empty, None and whitespace-only rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dawnsearch_spark.functions.tokenizer import tokenize_flat_arrow
+
+    texts = [t for t, _ in GOLDEN] + ["a_bC dE_f", "", None, "   ", "x"]
+    want_lists = [tokenize_py(t or "") for t in texts]
+    want_flat = [tok for lst in want_lists for tok in lst]
+    want_dl = [len(lst) for lst in want_lists]
+    want_seg = [i for i, lst in enumerate(want_lists) for _ in lst]
+    for src in (pd.Series(texts), pa.array(texts, pa.string())):
+        flat, seg, dl = tokenize_flat_arrow(src)
+        assert flat.to_pylist() == want_flat
+        assert seg.tolist() == want_seg
+        assert dl.tolist() == want_dl
