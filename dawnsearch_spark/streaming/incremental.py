@@ -131,7 +131,21 @@ def append_documents(
         fresh = fresh.drop("doc_id")
     if "content_sha" not in fresh.columns:
         fresh = fresh.withColumn("content_sha", F.sha2(F.col(cfg.content_col), 256))
-    assigned = assign_doc_ids(fresh, cfg.id_cols, dedup_order_col="content_sha")
+    # Size the assignment shuffle to the BATCH, not the cluster: a
+    # 1000-doc append through 32 range partitions pays 32 near-empty
+    # tasks in each of the sort/count/write stages — whole seconds of
+    # fixed overhead per append for zero usable parallelism (the same
+    # rationale as _doc_partitions for the first build). One narrow
+    # count of the incoming batch buys the right width.
+    from dawnsearch_spark.index_build import _doc_partitions
+
+    n_batch = new_docs.count()
+    assigned = assign_doc_ids(
+        fresh,
+        cfg.id_cols,
+        parts=_doc_partitions(cfg, n_groups, n_batch),
+        dedup_order_col="content_sha",
+    )
     fresh = assigned.withColumn("doc_id", F.col("doc_id") + F.lit(base))
     try:
         n_new = fresh.count()
@@ -548,7 +562,12 @@ def purge_deletes(
         F.broadcast(tomb_df), "doc_id", "left_anti"
     )
     tmp = paths.documents + "_tmp"
-    parts = max(1, spark.read.parquet(paths.documents).rdd.getNumPartitions())
+    # size the rewrite by the surviving row count (same ~2.5k-docs/file
+    # policy as the build), not the incoming split count
+    from dawnsearch_spark.index_build import _doc_partitions
+
+    n_before = int(docs_m.get("n_docs", 0))
+    parts = _doc_partitions(cfg, 1, max(1, n_before - len(tombs)))
     (
         live.repartitionByRange(parts, "doc_id")
         .sortWithinPartitions("doc_id")
