@@ -436,6 +436,189 @@ def _driver_merge_to_generation(
     }
 
 
+def _bucket_merge_to_generation(
+    spark: SparkSession,
+    paths: IndexPaths,
+    cfg: EngineConfig,
+    group_ids: list[int],
+    gen_id: int,
+    source_gens: list[dict],
+    tombstones=None,
+) -> dict | None:
+    """Shuffle-free SEGMENT-SOURCED merge (compaction / purge): one task
+    per term bucket, each reading its bucket's files across the source
+    generations directly via pyarrow and running the same columnar merge
+    kernel, then writing its bucket's output file in place.
+
+    Why no exchange is needed: ``bucket = crc32(term) % num_term_buckets``
+    is a pure function of the term, so ALL rows of a (term, range) — in
+    every generation — already live under the same ``bucket=B`` partition
+    directories; the distributed merge's (term, salt) repartition of every
+    posting blob re-derived a grouping the on-disk layout already has
+    (guide §2.4: remove shuffles the data's existing partitioning makes
+    redundant). Row content is byte-identical to the other merge paths
+    (same kernel, and the kernel's lexsort is fully determined by the
+    posting keys); the per-bucket one-file layout matches the driver
+    merge's. The per-bucket split set (dictionary-heavy terms plus terms
+    already salted in that bucket's rows) equals the global split set
+    restricted to the bucket, for the same reason the layout does.
+
+    Returns None when the index is not a local filesystem path (the
+    shuffle-based merge handles remote layouts)."""
+    import glob as _glob
+
+    import numpy as np
+
+    if "://" in paths.root:
+        return None
+    gdirs = [os.path.join(paths.runs, f"group={g}") for g in group_ids]
+    if all(os.path.isdir(d) for d in gdirs):
+        return None  # runs-sourced merges keep the distributed path
+    src_groups = sorted(int(x) for g in source_gens for x in g["groups"])
+    if src_groups != sorted(int(g) for g in group_ids):
+        return None  # let the distributed path raise its precise error
+
+    bucket_files: dict[int, list[str]] = {}
+    for g in source_gens:
+        if int(g.get("rows", 0)) > 0:
+            for bdir in _glob.glob(
+                os.path.join(paths.segments, f"gen={int(g['gen'])}", "bucket=*")
+            ):
+                b = int(bdir.rsplit("=", 1)[1])
+                bucket_files.setdefault(b, []).extend(
+                    sorted(_glob.glob(os.path.join(bdir, "*.parquet")))
+                )
+
+    heavy_set: set = set()
+    if os.path.isdir(paths.terms):
+        import pyarrow.dataset as pads
+
+        tfiles = sorted(_glob.glob(os.path.join(paths.terms, "*.parquet")))
+        if tfiles:
+            td = pads.dataset(tfiles, format="parquet").to_table(
+                columns=["term", "heavy"],
+                filter=pads.field("heavy") == True,  # noqa: E712
+            )
+            heavy_set = set(td.column("term").to_pylist())
+
+    gdir = os.path.join(paths.segments, f"gen={gen_id}")
+    if os.path.isdir(gdir):  # crash leftover from an uncommitted attempt
+        import shutil
+
+        shutil.rmtree(gdir, ignore_errors=True)
+    os.makedirs(gdir, exist_ok=True)
+
+    tomb = None
+    if tombstones is not None and len(tombstones):
+        tomb = np.sort(np.asarray(tombstones, np.int64))
+    tomb_bc = spark.sparkContext.broadcast(tomb)
+    heavy_bc = spark.sparkContext.broadcast(frozenset(heavy_set))
+    files_bc = spark.sparkContext.broadcast(bucket_files)
+    cfg_local = cfg
+    gdir_local = gdir
+
+    def gen(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as papq
+
+        from dawnsearch_spark.operators.merge import (
+            SEGMENT_COLS,
+            merge_rows_columnar,
+            segment_columns_to_rows,
+        )
+
+        cols_in = ["term", "range_id", "n_docs", "doc_blob", "tf_blob", "dl_blob"]
+        list_i64 = pa.list_(pa.int64())
+        schema = pa.schema(
+            [
+                ("term", pa.string()), ("range_id", pa.int64()),
+                ("n_docs", pa.int64()), ("tf_sum", pa.int64()),
+                ("doc_blob", pa.binary()), ("tf_blob", pa.binary()),
+                ("dl_blob", pa.binary()),
+                ("block_last", list_i64), ("block_doc_off", list_i64),
+                ("block_tf_off", list_i64), ("block_dl_off", list_i64),
+                ("front_tf", list_i64), ("front_dl", list_i64),
+                ("front_off", list_i64),
+                ("max_tf", pa.int64()), ("min_dl", pa.int64()),
+            ]
+        )
+        file_cols = [c for c in SEGMENT_COLS if c != "bucket"]
+        for pdf in batches:
+            for b in pdf["id"].to_numpy():
+                files = files_bc.value.get(int(b), [])
+                if not files:
+                    continue
+                tbl = pads.dataset(files, format="parquet").to_table(columns=cols_in)
+                terms_v = tbl.column("term").to_numpy(zero_copy_only=False)
+                salts_v = (
+                    tbl.column("range_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                ndocs_v = (
+                    tbl.column("n_docs").to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                split_set = frozenset(heavy_bc.value) | {
+                    t for t, s in zip(terms_v, salts_v) if s >= 0
+                }
+                cols_out = merge_rows_columnar(
+                    terms_v, salts_v, ndocs_v,
+                    tbl.column("doc_blob").to_pylist(),
+                    tbl.column("tf_blob").to_pylist(),
+                    tbl.column("dl_blob").to_pylist(),
+                    cfg_local, split_terms=split_set, tomb=tomb_bc.value,
+                )
+                rows_map = segment_columns_to_rows(cols_out)
+                rows_df = pd.DataFrame(rows_map)
+                n_rows = len(rows_df)
+                if not n_rows:
+                    yield pd.DataFrame({"bucket": [int(b)], "rows": [0], "postings": [0]})
+                    continue
+                rows_df = rows_df.sort_values(["term", "range_id"], ignore_index=True)
+                bdir = os.path.join(gdir_local, f"bucket={int(b)}")
+                os.makedirs(bdir, exist_ok=True)
+                btbl = pa.table(
+                    {c: rows_df[c].tolist() for c in file_cols}, schema=schema
+                )
+                blob_bytes = int(
+                    sum(len(x) for x in rows_df["doc_blob"])
+                    + sum(len(x) for x in rows_df["tf_blob"])
+                    + sum(len(x) for x in rows_df["dl_blob"])
+                    + 200 * n_rows
+                )
+                rg_rows = max(16, int(n_rows * (1 << 20) / max(blob_bytes, 1)))
+                papq.write_table(
+                    btbl,
+                    os.path.join(bdir, "part-00000.parquet"),
+                    row_group_size=min(rg_rows, n_rows),
+                    compression="snappy",
+                )
+                yield pd.DataFrame(
+                    {
+                        "bucket": [int(b)],
+                        "rows": [n_rows],
+                        "postings": [int(rows_df["n_docs"].sum())],
+                    }
+                )
+
+    n_b = cfg.num_term_buckets
+    stats_rows = (
+        spark.range(0, n_b, 1, numPartitions=n_b)
+        .mapInPandas(gen, "bucket long, rows long, postings long")
+        .collect()
+    )
+    tomb_bc.destroy()
+    heavy_bc.destroy()
+    files_bc.destroy()
+    return {
+        "gen": int(gen_id),
+        "groups": [int(g) for g in group_ids],
+        "rows": int(sum(r["rows"] for r in stats_rows)),
+        "postings": int(sum(r["postings"] for r in stats_rows)),
+        "bytes": dir_bytes(gdir),
+    }
+
+
 def merge_groups_to_generation(
     spark: SparkSession,
     paths: IndexPaths,
@@ -479,6 +662,16 @@ def merge_groups_to_generation(
     if _in_postings <= DRIVER_MERGE_MAX_POSTINGS:
         gd = _driver_merge_to_generation(
             paths, cfg, group_ids, gen_id, source_gens=source_gens,
+            tombstones=tombstones,
+        )
+        if gd is not None:
+            return gd
+    elif source_gens is not None:
+        # big segment-sourced merge (purge / large compaction): the
+        # bucket layout already groups every (term, range) — merge per
+        # bucket with zero exchanges instead of re-shuffling every blob
+        gd = _bucket_merge_to_generation(
+            spark, paths, cfg, group_ids, gen_id, source_gens,
             tombstones=tombstones,
         )
         if gd is not None:

@@ -525,6 +525,7 @@ def purge_deletes(
         spark, paths, cfg, heavy_terms, all_groups, new_gen,
         source_gens=gens, tombstones=tombs,
     )
+    log(f"purge: merged {gd['rows']} rows into gen {new_gen}")
     write_manifest(
         paths.root,
         "segments",
@@ -562,18 +563,12 @@ def purge_deletes(
         F.broadcast(tomb_df), "doc_id", "left_anti"
     )
     tmp = paths.documents + "_tmp"
-    # size the rewrite by the surviving row count (same ~2.5k-docs/file
-    # policy as the build), not the incoming split count
-    from dawnsearch_spark.index_build import _doc_partitions
-
-    n_before = int(docs_m.get("n_docs", 0))
-    parts = _doc_partitions(cfg, 1, max(1, n_before - len(tombs)))
-    (
-        live.repartitionByRange(parts, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    # The forward index is already doc_id-range-partitioned and sorted
+    # within files; dropping rows preserves both, so the rewrite needs NO
+    # repartitionByRange (its sampling job + full shuffle re-derived the
+    # layout the scan already has — guide §2.4). File count stays at the
+    # input split count: purges only remove rows, never fragment.
+    live.write.mode("overwrite").parquet(tmp)
     _invalidate(paths.root, ["documents", "stats", "terms"])
     # two-rename swap: the unrecoverable window is one rename, not a
     # whole directory delete + rewrite
@@ -589,6 +584,7 @@ def purge_deletes(
     n_live = (
         _cm[0] if _cm is not None else spark.read.parquet(paths.documents).count()
     )
+    log(f"purge: forward index rewritten ({n_live} live rows)")
     write_manifest(
         paths.root,
         "documents",

@@ -159,3 +159,40 @@ def test_gc_run_dirs_spares_unmerged_groups(spark, cfg, tmp_path):
     # search still green after manual GC
     e = Engine(spark, d, cfg)
     assert e.search("parse http request")
+
+
+def test_bucket_merge_rows_identical_to_distributed(spark, cfg, tmp_path, monkeypatch):
+    """The shuffle-free per-bucket segment-sourced merge (purge/compaction
+    over-budget path) must emit row-identical segments to the distributed
+    shuffle merge, tombstones included."""
+    import dawnsearch_spark.index_build as ib
+    from dawnsearch_spark.streaming.incremental import (
+        delete_documents,
+        purge_deletes,
+    )
+
+    gc_cfg = replace(cfg, max_segment_generations=2, gc_runs=True)
+    chunks = _chunks(spark)
+    a, b = str(tmp_path / "bucketed"), str(tmp_path / "shuffled")
+    for root in (a, b):
+        _build_appended(spark, root, gc_cfg, chunks)
+
+    dels = list(range(0, 270, 7))
+    # index a: driver budget zeroed -> purge takes _bucket_merge_to_generation
+    monkeypatch.setattr(ib, "DRIVER_MERGE_MAX_POSTINGS", 0)
+    delete_documents(spark, a, gc_cfg, doc_ids=dels)
+    purge_deletes(spark, a, gc_cfg)
+    # index b: bucket path disabled too -> the distributed shuffle merge
+    monkeypatch.setattr(
+        ib, "_bucket_merge_to_generation",
+        lambda *args, **kw: None,
+    )
+    delete_documents(spark, b, gc_cfg, doc_ids=dels)
+    purge_deletes(spark, b, gc_cfg)
+
+    assert _segment_rows(spark, a) == _segment_rows(spark, b), (
+        "bucket merge must be row-identical to the distributed merge"
+    )
+    ea, eb = Engine(spark, a, gc_cfg), Engine(spark, b, gc_cfg)
+    for q in QUERIES:
+        assert ea.search(q) == eb.search(q), q
