@@ -976,7 +976,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 50,
     persist_handles: list | None = None,
-    max_driver_edges: int = 200_000,
+    max_driver_edges: int = 2_000_000,
 ) -> DataFrame:
     """``(node, component)`` for every node appearing in ``pairs``;
     ``component`` is the minimum node id of the node's connected
@@ -1033,8 +1033,18 @@ def connected_components(
         return (r["n"], r["h"])
 
     def _driver_cc(edge_df: DataFrame) -> DataFrame:
-        """Bounded-budget driver union-find (path-halving)."""
-        parent: dict[int, int] = {}
+        """Bounded-budget driver union-find (path-halving) over dense
+        node ordinals: one Arrow collect, numpy factorize, and an
+        array-backed union-find (the per-row dict/Row version spent most
+        of its time building Python objects)."""
+        pdf = edge_df.toPandas()
+        if not len(pdf):
+            return sess.createDataFrame([], "node long, component long")
+        av = pdf["a"].to_numpy(np.int64)
+        bv = pdf["b"].to_numpy(np.int64)
+        nodes, packed = np.unique(np.concatenate([av, bv]), return_inverse=True)
+        ai, bi = packed[: len(av)], packed[len(av) :]
+        parent = np.arange(len(nodes), dtype=np.int64)
 
         def find(x: int) -> int:
             while parent[x] != x:
@@ -1042,19 +1052,18 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in edge_df.collect():
-            a, b = int(r["a"]), int(r["b"])
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        comp: dict[int, int] = {n: find(n) for n in parent}
-        mins: dict[int, int] = {}
-        for n, root in comp.items():
-            mins[root] = min(mins.get(root, n), n)
-        rows = [(n, mins[root]) for n, root in comp.items()]
-        return sess.createDataFrame(rows or [], "node long, component long")
+        for x, y in zip(ai.tolist(), bi.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                # nodes[] is sorted, so smaller ordinal == smaller id:
+                # rooting at min keeps component == min node id directly
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        roots = np.array([find(i) for i in range(len(nodes))], np.int64)
+        out = pd.DataFrame({"node": nodes, "component": nodes[roots]})
+        return sess.createDataFrame(out)
 
     prev_sig = _sig(edges)
     if prev_sig[0] <= max_driver_edges:
