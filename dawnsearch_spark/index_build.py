@@ -362,71 +362,106 @@ def _driver_merge_to_generation(
             heavy_set = set(td.column("term").to_pylist())
     split_set = heavy_set | {t for t, s in zip(terms_v, salts_v) if s >= 0}
 
-    # ---- reclassify + merge + pack, fully batched (merge.py kernel) ----
+    # ---- reclassify + merge + pack, batched PER BUCKET and threaded ----
+    # Keys never span buckets (bucket = crc32(term)), so the kernel is
+    # separable by bucket: each thread merges + packs + writes one
+    # bucket's rows (identical per-key output to the single global kernel
+    # — the lexsort is fully determined by the posting keys). The NumPy
+    # kernels release the GIL for their array passes, so a small pool
+    # overlaps them; single-threaded this merge was the dominant phase of
+    # a 10k-doc append (3-4 s) and of small compactions (7 s).
     tomb = None
     if tombstones is not None and len(tombstones):
         tomb = np.sort(np.asarray(tombstones, np.int64))
-    cols_out = merge_rows_columnar(
-        terms_v, salts_v, ndocs_v, doc_v, tf_v, dl_v, cfg,
-        split_terms=split_set, tomb=tomb,
-    )
-    rows_map = segment_columns_to_rows(cols_out)
     import pandas as pd
 
-    rows_df = pd.DataFrame(rows_map)
-    rows_df = rows_df.sort_values(
-        ["bucket", "term", "range_id"], ignore_index=True
-    )
-    n_rows = len(rows_df)
-    postings_out = int(rows_df["n_docs"].sum()) if n_rows else 0
+    from dawnsearch_spark.operators.merge import term_bucket_py
 
     gdir = os.path.join(paths.segments, f"gen={gen_id}")
     if os.path.isdir(gdir):  # crash leftover from an uncommitted attempt
         import shutil
 
         shutil.rmtree(gdir, ignore_errors=True)
-    if n_rows:
-        list_i64 = pa.list_(pa.int64())
-        schema = pa.schema(
-            [
-                ("term", pa.string()),
-                ("range_id", pa.int64()),
-                ("n_docs", pa.int64()),
-                ("tf_sum", pa.int64()),
-                ("doc_blob", pa.binary()),
-                ("tf_blob", pa.binary()),
-                ("dl_blob", pa.binary()),
-                ("block_last", list_i64),
-                ("block_doc_off", list_i64),
-                ("block_tf_off", list_i64),
-                ("block_dl_off", list_i64),
-                ("front_tf", list_i64),
-                ("front_dl", list_i64),
-                ("front_off", list_i64),
-                ("max_tf", pa.int64()),
-                ("min_dl", pa.int64()),
-            ]
+
+    uterms, tinv = np.unique(terms_v, return_inverse=True)
+    ubuckets = np.fromiter(
+        (term_bucket_py(str(t), cfg.num_term_buckets) for t in uterms),
+        np.int64,
+        len(uterms),
+    )
+    row_bucket = ubuckets[tinv]
+    list_i64 = pa.list_(pa.int64())
+    schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("range_id", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("tf_sum", pa.int64()),
+            ("doc_blob", pa.binary()),
+            ("tf_blob", pa.binary()),
+            ("dl_blob", pa.binary()),
+            ("block_last", list_i64),
+            ("block_doc_off", list_i64),
+            ("block_tf_off", list_i64),
+            ("block_dl_off", list_i64),
+            ("front_tf", list_i64),
+            ("front_dl", list_i64),
+            ("front_off", list_i64),
+            ("max_tf", pa.int64()),
+            ("min_dl", pa.int64()),
+        ]
+    )
+    file_cols = [c for c in SEGMENT_COLS if c != "bucket"]
+
+    def _merge_one_bucket(bkt: int) -> tuple[int, int]:
+        sel = np.flatnonzero(row_bucket == bkt)
+        if not len(sel):
+            return 0, 0
+        cols_out = merge_rows_columnar(
+            terms_v[sel],
+            salts_v[sel],
+            ndocs_v[sel],
+            [doc_v[i] for i in sel],
+            [tf_v[i] for i in sel],
+            [dl_v[i] for i in sel],
+            cfg,
+            split_terms=split_set,
+            tomb=tomb,
         )
-        file_cols = [c for c in SEGMENT_COLS if c != "bucket"]
-        for bkt, grp in rows_df.groupby("bucket", sort=True):
-            bdir = os.path.join(gdir, f"bucket={int(bkt)}")
-            os.makedirs(bdir, exist_ok=True)
-            btbl = pa.table(
-                {c: grp[c].tolist() for c in file_cols}, schema=schema
-            )
-            blob_bytes = int(
-                sum(len(b) for b in grp["doc_blob"])
-                + sum(len(b) for b in grp["tf_blob"])
-                + sum(len(b) for b in grp["dl_blob"])
-                + 200 * len(grp)
-            )
-            rg_rows = max(16, int(len(grp) * (1 << 20) / max(blob_bytes, 1)))
-            papq.write_table(
-                btbl,
-                os.path.join(bdir, "part-00000.parquet"),
-                row_group_size=min(rg_rows, len(grp)),
-                compression="snappy",
-            )
+        rows_map = segment_columns_to_rows(cols_out)
+        grp = pd.DataFrame(rows_map)
+        if not len(grp):
+            return 0, 0
+        grp = grp.sort_values(["term", "range_id"], ignore_index=True)
+        bdir = os.path.join(gdir, f"bucket={bkt}")
+        os.makedirs(bdir, exist_ok=True)
+        btbl = pa.table({c: grp[c].tolist() for c in file_cols}, schema=schema)
+        blob_bytes = int(
+            sum(len(b) for b in grp["doc_blob"])
+            + sum(len(b) for b in grp["tf_blob"])
+            + sum(len(b) for b in grp["dl_blob"])
+            + 200 * len(grp)
+        )
+        rg_rows = max(16, int(len(grp) * (1 << 20) / max(blob_bytes, 1)))
+        papq.write_table(
+            btbl,
+            os.path.join(bdir, "part-00000.parquet"),
+            row_group_size=min(rg_rows, len(grp)),
+            compression="snappy",
+        )
+        return len(grp), int(grp["n_docs"].sum())
+
+    present = sorted({int(b) for b in row_bucket})
+    if present:
+        os.makedirs(gdir, exist_ok=True)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(present))) as pool:
+            results = list(pool.map(_merge_one_bucket, present))
+    else:
+        results = []
+    n_rows = int(sum(r for r, _ in results))
+    postings_out = int(sum(p for _, p in results))
     return {
         "gen": int(gen_id),
         "groups": [int(g) for g in group_ids],

@@ -408,7 +408,12 @@ def jaccard_pairs_exact(
         cand = capped_pair_candidates(ex, ["_s"], None)
         return verified_jaccard_pairs(cand, base, threshold)
 
-    counts = ex.groupBy("_s").count()
+    # the shingle-df relation feeds four consumers (the budget/collision
+    # stats, the over-cap set's anti- and semi-joins, and the chain
+    # window): persist it or each action re-runs the explode + groupBy
+    counts = ex.groupBy("_s").count().persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_handles is not None:
+        persist_handles.append(counts)
     big = counts.filter(F.col("count") > max_shingle_df).select("_s")
     ok = ex.join(F.broadcast(big), ["_s"], "left_anti")
     # exact shared-sub-cap-shingle count per pair. Preferred execution: the
