@@ -141,4 +141,7 @@ def assign_doc_ids(
     # handle for callers that materialize the result exactly once (e.g.
     # the forward-index write) to release the cached shuffle afterwards
     out._dawnsearch_persisted = ranged
+    # total KEPT rows (post-dedup) — already exact from the counts job, so
+    # callers need no separate count() action over the output
+    out._dawnsearch_kept_rows = off
     return out

@@ -148,7 +148,11 @@ def append_documents(
     )
     fresh = assigned.withColumn("doc_id", F.col("doc_id") + F.lit(base))
     try:
-        n_new = fresh.count()
+        # the assignment's per-partition counts job already established the
+        # exact kept-row total — no second count() over the Arrow stage
+        n_new = int(getattr(assigned, "_dawnsearch_kept_rows", -1))
+        if n_new < 0:
+            n_new = fresh.count()
         if n_new == 0:
             log("append: nothing new after dedup")
             return {"appended": 0, "n_docs": n_existing}
