@@ -114,9 +114,12 @@ def tokenize_flat_arrow(texts) -> tuple:
     la = pc.split_pattern_regex(a, NONWORD_PAT)
     if isinstance(la, pa.ChunkedArray):  # pragma: no cover - single chunk in
         la = la.combine_chunks()
-    values = la.values
-    offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    offs = offs - offs[0]  # value-buffer slice offset of a sliced array
+    # flatten() + list_value_length are slice-safe (a raw .values/.offsets
+    # pair would misalign on a sliced ListArray)
+    values = la.flatten()
+    lengths = pc.list_value_length(la).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.zeros(len(lengths) + 1, np.int64)
+    np.cumsum(lengths, out=offs[1:])
     nonempty = pc.not_equal(values, "").to_numpy(zero_copy_only=False)
     cum = np.zeros(len(values) + 1, np.int64)
     np.cumsum(nonempty, out=cum[1:])
