@@ -172,6 +172,118 @@ def run_serve() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _procpool_worker(idx_dir: str, rounds: int, barrier, out_q) -> None:
+    """One serving process: own SparkSession + Engine (the reference's
+    scale-out unit — process per engine, page cache shared by the OS),
+    warm the caches, wait at the barrier, run the timed loop."""
+    os.environ["DAWNSEARCH_DRIVER_MEM"] = "2g"
+    from dawnsearch_spark.config import EngineConfig
+    from dawnsearch_spark.corpus import REFERENCE_QUERIES
+    from dawnsearch_spark.plans.query import Engine
+    from dawnsearch_spark.session import get_spark
+
+    spark = get_spark(f"serve-proc-{os.getpid()}", master="local[2]")
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    n_docs = max(2000, int(200_000 * sf))
+    cfg = EngineConfig(
+        heavy_df_threshold=max(1000, n_docs // 8), range_size=1024,
+        num_term_buckets=32, build_partitions=int(CPUS),
+    )
+    engine = Engine(spark, idx_dir, cfg)
+    all_q = [REFERENCE_QUERIES[q] for q in REFERENCE_QUERIES]
+    for q in all_q:  # warm the light/heavy LRUs
+        engine.search(q, counters={})
+    barrier.wait()
+    lat = []
+    t0 = time.time()
+    for _ in range(rounds):
+        for q in all_q:
+            s0 = time.time()
+            engine.search(q, counters={})
+            lat.append(time.time() - s0)
+    wall = time.time() - t0
+    lat.sort()
+    out_q.put(
+        {
+            "pid": os.getpid(),
+            "searches": len(lat),
+            "wall_sec": round(wall, 3),
+            "p50_sec": round(lat[len(lat) // 2], 4),
+            "p95_sec": round(lat[int(len(lat) * 0.95)], 4),
+        }
+    )
+    spark.stop()
+
+
+def run_procpool(n_procs: int = 4, rounds: int = 4) -> None:
+    """Serving-QPS with N engine PROCESSES over one on-disk index — the
+    scale-out axis the single-loop bench names (bench.py's thread sweep
+    measures the GIL convoy; processes are the fix: one Engine per
+    process, OS page cache shared). Builds the bench-scale index once,
+    then forks N workers that warm independently and race the same
+    25-query reference set from a barrier."""
+    import multiprocessing as mp
+    import shutil
+    import tempfile
+
+    from dawnsearch_spark.config import EngineConfig
+    from dawnsearch_spark.corpus import generate_corpus
+    from dawnsearch_spark.index_build import build_index
+    from dawnsearch_spark.sources import read_documents
+
+    spark = _spark("procpool-build")
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    n_docs = max(2000, int(200_000 * sf))
+    cfg = EngineConfig(
+        heavy_df_threshold=max(1000, n_docs // 8), range_size=1024,
+        num_term_buckets=32, build_partitions=int(CPUS),
+    )
+    work = tempfile.mkdtemp(prefix="dawnsearch_procpool_")
+    try:
+        corpus_path = os.path.join(work, "corpus")
+        generate_corpus(spark, n_docs, seed=42).write.parquet(corpus_path)
+        idx = os.path.join(work, "idx")
+        build_index(
+            spark, read_documents(spark, corpus_path), idx, cfg,
+            n_groups=4, parallel_groups=4,
+        )
+        spark.stop()  # free the build JVM before the serving processes
+        ctx = mp.get_context("spawn")
+        barrier = ctx.Barrier(n_procs)
+        out_q = ctx.Queue()
+        procs = [
+            ctx.Process(target=_procpool_worker, args=(idx, rounds, barrier, out_q))
+            for _ in range(n_procs)
+        ]
+        t0 = time.time()
+        for p in procs:
+            p.start()
+        results = [out_q.get() for _ in procs]
+        for p in procs:
+            p.join()
+        total = sum(r["searches"] for r in results)
+        wall = max(r["wall_sec"] for r in results)
+        print(json.dumps({"workers": results}, sort_keys=True))
+        print(
+            json.dumps(
+                {
+                    "serving_qps_procpool": round(total / wall, 1),
+                    "n_procs": n_procs,
+                    "rounds": rounds,
+                    "searches_total": total,
+                    "wall_sec": wall,
+                    "p95_sec_max": max(r["p95_sec"] for r in results),
+                    "n_docs": n_docs,
+                    "note": "N engine processes over one index dir; "
+                            "barrier-started; QPS = total searches / "
+                            "slowest worker wall",
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "ops"
     args = sys.argv[2:]
@@ -183,5 +295,10 @@ if __name__ == "__main__":
         run_dedup()
     elif mode == "serve":
         run_serve()
+    elif mode == "procpool":
+        run_procpool(
+            n_procs=int(args[0]) if args else 4,
+            rounds=int(args[1]) if len(args) > 1 else 4,
+        )
     else:
         raise SystemExit(f"unknown mode {mode}")
