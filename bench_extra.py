@@ -258,9 +258,13 @@ def run_procpool(n_procs: int = 4, rounds: int = 4) -> None:
         t0 = time.time()
         for p in procs:
             p.start()
-        results = [out_q.get() for _ in procs]
+        # bounded gets: a worker that dies before the barrier (session
+        # startup failure) must fail the bench loudly, not hang it
+        results = []
+        for _ in procs:
+            results.append(out_q.get(timeout=600))
         for p in procs:
-            p.join()
+            p.join(timeout=60)
         total = sum(r["searches"] for r in results)
         wall = max(r["wall_sec"] for r in results)
         print(json.dumps({"workers": results}, sort_keys=True))

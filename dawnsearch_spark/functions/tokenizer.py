@@ -110,7 +110,11 @@ def tokenize_flat_arrow(texts) -> tuple:
             arr = pc.fill_null(arr, "")
     a = pc.replace_substring_regex(arr, ACRONYM_PAT, r"\1 \2")
     a = pc.replace_substring_regex(a, CAMEL_PAT, r"\1 \2")
-    a = pc.utf8_lower(a)
+    # split BEFORE lowering, exactly like the reference implementations: a
+    # non-ASCII char whose LOWERCASE is ASCII alphanumeric (U+212A KELVIN
+    # -> 'k', U+0130 -> 'i') must stay a delimiter, so boundaries are
+    # decided on the original text; tokens are lowercased afterwards
+    # (lowercasing never produces whitespace or changes run boundaries)
     la = pc.split_pattern_regex(a, NONWORD_PAT)
     if isinstance(la, pa.ChunkedArray):  # pragma: no cover - single chunk in
         la = la.combine_chunks()
@@ -124,7 +128,7 @@ def tokenize_flat_arrow(texts) -> tuple:
     cum = np.zeros(len(values) + 1, np.int64)
     np.cumsum(nonempty, out=cum[1:])
     dl = cum[offs[1:]] - cum[offs[:-1]]
-    flat = values.filter(pa.array(nonempty))
+    flat = pc.utf8_lower(values.filter(pa.array(nonempty)))
     seg = np.repeat(np.arange(len(dl), dtype=np.int64), dl)
     return flat, seg, dl
 

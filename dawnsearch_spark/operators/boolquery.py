@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from dawnsearch_spark.config import EngineConfig
 from dawnsearch_spark.functions.bm25 import bm25_col, idf_col
-from dawnsearch_spark.functions.tokenizer import tokenize_pandas, tokenize_py
+from dawnsearch_spark.functions.tokenizer import tokenize_py
 from dawnsearch_spark.operators.tf import CorpusStats
 
 
@@ -79,10 +79,13 @@ def _phrase_hits(tokens: np.ndarray, terms: list[str]) -> int:
 
 def _flatten_tokens(toks: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(flat, seg, dl) for a Series of token lists: one concatenated token
-    array, each token's doc ordinal, and per-doc token counts. The batch
-    matchers below run ONE vectorized pass over ``flat`` instead of a
-    per-document Python call — the per-doc loop's fixed NumPy overhead
-    (~tens of µs x 10^5 candidate docs) dominated positional verification."""
+    array, each token's doc ordinal, and per-doc token counts — the
+    NumPy REFERENCE implementation of ``tokenize_flat_arrow``'s output
+    contract (production paths use the arrow kernel; the equivalence
+    tests pin the two against each other). The batch matchers below run
+    ONE vectorized pass over ``flat`` instead of a per-document Python
+    call — the per-doc loop's fixed NumPy overhead (~tens of µs x 10^5
+    candidate docs) dominated positional verification."""
     dl = toks.str.len().fillna(0).to_numpy(np.int64)
     ex = toks.explode()
     ex = ex[ex.notna()]

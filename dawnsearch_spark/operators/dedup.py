@@ -211,6 +211,7 @@ def _pair_intersections_driver(
     prof: DataFrame,
     threshold: float,
     max_shingle_df: int,
+    persist_handles: list | None = None,
 ) -> DataFrame | None:
     """Exact per-pair shared-sub-cap-shingle counts ``(id_a, id_b, _c)``
     without the Σ df² candidate-row shuffle, for budget-sized corpora.
@@ -298,6 +299,12 @@ def _pair_intersections_driver(
     bc = spark.sparkContext.broadcast(
         (post_docs, post_off, doc_sids, doc_off, orig_ids, n_sh_arr, oc_len)
     )
+    if persist_handles is not None:
+        # the CSR/CSC broadcast is ~16 B/instance (up to ~480 MB at the
+        # budget cap) — hand it to the caller's release hook like the
+        # persisted relations, or repeated calls in one session accumulate
+        # executor copies (Broadcast.unpersist shares the handle protocol)
+        persist_handles.append(bc)
     chunk = max(64, n_rows // (spark.sparkContext.defaultParallelism * 4) + 1)
     n_chunks = (n_rows + chunk - 1) // chunk
 
@@ -451,7 +458,9 @@ def jaccard_pairs_exact(
     # full intersection adds the shared over-cap shingles back in
     oc = big_rows.groupBy("_id").agg(F.collect_set("_s").alias("_oc"))
     prof = base.select("_id", F.size("_sh").alias("_n_sh")).join(oc, "_id", "left")
-    sub_rows = _pair_intersections_driver(ok, counts, prof, threshold, max_shingle_df)
+    sub_rows = _pair_intersections_driver(
+        ok, counts, prof, threshold, max_shingle_df, persist_handles
+    )
     if sub_rows is None:  # over budget / remote / hash-collision: self-join
         sub_rows = (
             ok.alias("a")

@@ -434,7 +434,7 @@ def positional_search_index(
                 }
             )
 
-    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     from dawnsearch_spark.functions.bm25 import bm25_col, idf_col
 
@@ -443,31 +443,35 @@ def positional_search_index(
     ).filter(F.col("phrase_tf") > 0)
     if cand_df is None and tomb_df is not None:
         matched = matched.join(F.broadcast(tomb_df), "doc_id", "left_anti")
-    # score + top-k stay distributed: only k result rows ever reach the
-    # driver even when the phrase matches millions of docs. The phrase df
-    # comes from a global window count over the NARROW matched rows — the
-    # former aggregate + crossJoin re-ran the whole candidate join +
-    # tokenize pipeline a second time to attach one scalar.
-    top = (
-        matched.withColumn(
-            "_dfp",
-            F.count(F.lit(1)).over(Window.partitionBy(F.lit(0))).cast("double"),
+    # score + top-k stay distributed AND parallel: only k result rows ever
+    # reach the driver even when the phrase matches millions of docs. The
+    # narrow matched relation is persisted so the phrase-df aggregate and
+    # the scoring pass run the candidate join + tokenize pipeline ONCE (a
+    # global window count would also be single-pass, but it funnels the
+    # whole match set plus the top-k sort through one task — exactly wrong
+    # for the full-scan branch whose match set is corpus-sized).
+    matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        dfp = matched.agg(F.count(F.lit(1)).cast("double").alias("_dfp"))
+        top = (
+            matched.crossJoin(F.broadcast(dfp))
+            .withColumn(
+                "score",
+                bm25_col(
+                    F.col("phrase_tf"),
+                    F.col("dl"),
+                    idf_col(F.col("_dfp"), float(stats.n_docs)),
+                    stats.avgdl,
+                    cfg.k1,
+                    cfg.b,
+                ),
+            )
+            .select("doc_id", "phrase_tf", "score", "_dfp")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
         )
-        .withColumn(
-            "score",
-            bm25_col(
-                F.col("phrase_tf"),
-                F.col("dl"),
-                idf_col(F.col("_dfp"), float(stats.n_docs)),
-                stats.avgdl,
-                cfg.k1,
-                cfg.b,
-            ),
-        )
-        .select("doc_id", "phrase_tf", "score", "_dfp")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-        .collect()
-    )
+    finally:
+        matched.unpersist()
     ctr["phrase_df"] = int(top[0]["_dfp"]) if top else 0
     return [(int(r["doc_id"]), int(r["phrase_tf"]), float(r["score"])) for r in top]

@@ -567,12 +567,13 @@ def purge_deletes(
         F.broadcast(tomb_df), "doc_id", "left_anti"
     )
     tmp = paths.documents + "_tmp"
-    # The forward index is already doc_id-range-partitioned and sorted
-    # within files; dropping rows preserves both, so the rewrite needs NO
-    # repartitionByRange (its sampling job + full shuffle re-derived the
-    # layout the scan already has — guide §2.4). File count stays at the
-    # input split count: purges only remove rows, never fragment.
-    live.write.mode("overwrite").parquet(tmp)
+    # No repartitionByRange: its sampling job + full shuffle re-derived a
+    # doc_id clustering the scan largely has (guide §2.4). But a rewrite
+    # task may PACK several small input files in size order, so rows are
+    # re-sorted WITHIN each task (in-memory, no exchange) — row-group
+    # min/max stats stay tight and the zero-job point-lookup path keeps
+    # skipping row groups after every purge.
+    live.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmp)
     _invalidate(paths.root, ["documents", "stats", "terms"])
     # two-rename swap: the unrecoverable window is one rename, not a
     # whole directory delete + rewrite

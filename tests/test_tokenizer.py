@@ -34,7 +34,11 @@ def test_tokenize_py_golden(text, expected):
 
 
 def test_pandas_matches_py():
-    texts = [t for t, _ in GOLDEN] + ["a_bC dE_f", "x" * 100, None]
+    texts = [t for t, _ in GOLDEN] + [
+        "a_bC dE_f", "", None, "   ", "x",
+        "212\u212a of heat",  # KELVIN SIGN lowercases to ASCII 'k'
+        "stop\u0130go",       # dotted capital I
+    ] + ["a_bC dE_f", "x" * 100, None]
     got = tokenize_pandas(pd.Series(texts)).tolist()
     want = [tokenize_py(t or "") for t in texts]
     assert got == want
@@ -63,7 +67,12 @@ def test_flat_arrow_matches_py():
 
     from dawnsearch_spark.functions.tokenizer import tokenize_flat_arrow
 
-    texts = [t for t, _ in GOLDEN] + ["a_bC dE_f", "", None, "   ", "x"]
+    # the Kelvin sign (U+212A) and dotted capital I (U+0130) lowercase to
+    # ASCII alphanumerics — they must stay DELIMITERS (boundaries are
+    # decided on the original text, like the py/pandas/JVM paths)
+    texts = [t for t, _ in GOLDEN] + [
+        "a_bC dE_f", "", None, "   ", "x", "212K of heat", "stopİgo",
+    ]
     want_lists = [tokenize_py(t or "") for t in texts]
     want_flat = [tok for lst in want_lists for tok in lst]
     want_dl = [len(lst) for lst in want_lists]
